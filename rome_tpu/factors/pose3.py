@@ -1,0 +1,182 @@
+"""SE(3) pose factors (reference: /root/reference/src/factors/Pose3D.jl,
+Pose3Pose3.jl).
+
+Points are (t[3], q[4]); tangent coords are (v[3], w[3]) — translation first,
+matching the reference's ``get_coordinates(..., DefaultOrthogonalBasis())``
+ordering (Pose3Pose3.jl:27).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from rome_tpu.distributions import Distribution, MvNormal
+from rome_tpu.factors.base import FactorType, make_gaussian_factor, register_factor_type
+from rome_tpu.manifolds import quat as Q
+from rome_tpu.manifolds.base import SE3_, SO3_
+from rome_tpu.variables import Pose3, Rotation3
+
+
+def _default_p3_cov():
+    return MvNormal(np.zeros(6), np.diag([0.01] * 3 + [0.0001] * 3))
+
+
+# --- PriorPose3 (Pose3D.jl:9-19): vee(log(M, p, m)) ------------------------
+
+def _prior_pose3_res(params, p):
+    m = SE3_.exp(params["z"])
+    return SE3_.local(p, m)
+
+
+PRIOR_POSE3 = register_factor_type(
+    FactorType(
+        name="PriorPose3",
+        variable_types=(Pose3,),
+        zdim=6,
+        residual=_prior_pose3_res,
+        initializers={0: lambda params, pts: SE3_.exp(params["z"])},
+        coord_types=("e",) * 3 + ("c",) * 3,
+        doc="Full SE(3) unary prior (Pose3D.jl:9-19).",
+    )
+)
+
+
+def PriorPose3(Z: Distribution = None):
+    return make_gaussian_factor(PRIOR_POSE3, (), Z or _default_p3_cov())
+
+
+# --- Pose3Pose3 (Pose3Pose3.jl:17-29): vee(log(M, q, p ∘ exp(X))) ----------
+
+def _pose3pose3_res(params, p, q):
+    qhat = SE3_.compose(p, SE3_.exp(params["z"]))
+    return SE3_.local(q, qhat)
+
+
+POSE3POSE3 = register_factor_type(
+    FactorType(
+        name="Pose3Pose3",
+        variable_types=(Pose3, Pose3),
+        zdim=6,
+        residual=_pose3pose3_res,
+        initializers={
+            1: lambda params, pts: SE3_.compose(pts[0], SE3_.exp(params["z"])),
+            0: lambda params, pts: SE3_.compose(
+                pts[1], SE3_.inverse(SE3_.exp(params["z"]))
+            ),
+        },
+        coord_types=("e",) * 3 + ("c",) * 3,
+        doc="SE(3) odometry factor (Pose3Pose3.jl:9-29).",
+    )
+)
+
+
+def Pose3Pose3(Z: Distribution = None):
+    return make_gaussian_factor(POSE3POSE3, (), Z or _default_p3_cov())
+
+
+# --- Pose3Pose3RotOffset (Pose3Pose3.jl:57-76) -----------------------------
+# measurement frame a -> body frame b via extra Rotation3 variable bRa.
+
+def _pose3pose3_rotoffset_res(params, p, q, bRa):
+    a_m = SE3_.exp(params["z"])  # (t, q) measurement in frame a
+    b_rot = Q.qmul(bRa, a_m[3:])
+    b_m = jnp.concatenate([a_m[:3], b_rot])
+    qhat = SE3_.compose(p, b_m)
+    return SE3_.local(q, qhat)
+
+
+POSE3POSE3ROTOFFSET = register_factor_type(
+    FactorType(
+        name="Pose3Pose3RotOffset",
+        variable_types=(Pose3, Pose3, Rotation3),
+        zdim=6,
+        residual=_pose3pose3_rotoffset_res,
+        coord_types=("e",) * 3 + ("c",) * 3,
+        doc="SE(3) odometry with an extra measurement-frame rotation "
+        "variable bRa (Pose3Pose3.jl:57-76).",
+    )
+)
+
+
+def Pose3Pose3RotOffset(Z: Distribution = None):
+    return make_gaussian_factor(POSE3POSE3ROTOFFSET, (), Z or _default_p3_cov())
+
+
+# --- Pose3Pose3Transform (Pose3Pose3.jl:80-96) -----------------------------
+# extra Pose3 variable Δ maps the measurement: q̂ = p ∘ (Δ ∘ exp(X)).
+
+def _pose3pose3_transform_res(params, p, q, delta):
+    dn = SE3_.compose(delta, SE3_.exp(params["z"]))
+    qhat = SE3_.compose(p, dn)
+    return SE3_.local(q, qhat)
+
+
+POSE3POSE3TRANSFORM = register_factor_type(
+    FactorType(
+        name="Pose3Pose3Transform",
+        variable_types=(Pose3, Pose3, Pose3),
+        zdim=6,
+        residual=_pose3pose3_transform_res,
+        coord_types=("e",) * 3 + ("c",) * 3,
+        doc="SE(3) odometry with an extra unknown transform variable "
+        "(Pose3Pose3.jl:80-96).",
+    )
+)
+
+
+def Pose3Pose3Transform(Z: Distribution = None):
+    return make_gaussian_factor(POSE3POSE3TRANSFORM, (), Z or _default_p3_cov())
+
+
+# --- Pose3Pose3UnitTrans (Pose3Pose3.jl:105-116) ---------------------------
+# scale-free: translation part of the error is normalized.
+
+def _pose3pose3_unittrans_res(params, p, q):
+    xc = _pose3pose3_res(params, p, q)
+    t = xc[:3]
+    tn = t / (jnp.linalg.norm(t) + 1e-12)
+    return jnp.concatenate([tn, xc[3:]])
+
+
+POSE3POSE3UNITTRANS = register_factor_type(
+    FactorType(
+        name="Pose3Pose3UnitTrans",
+        variable_types=(Pose3, Pose3),
+        zdim=6,
+        residual=_pose3pose3_unittrans_res,
+        coord_types=("e",) * 3 + ("c",) * 3,
+        doc="Normalized-translation (scale-free) SE(3) factor "
+        "(Pose3Pose3.jl:105-116).",
+    )
+)
+
+
+def Pose3Pose3UnitTrans(Z: Distribution = None):
+    return make_gaussian_factor(POSE3POSE3UNITTRANS, (), Z or _default_p3_cov())
+
+
+# --- PriorRotation3: SO(3) prior (used by VelAlign chains) -----------------
+
+def _prior_rot3_res(params, r):
+    m = SO3_.exp(params["z"])
+    return SO3_.local(r, m)
+
+
+PRIOR_ROTATION3 = register_factor_type(
+    FactorType(
+        name="PriorRotation3",
+        variable_types=(Rotation3,),
+        zdim=3,
+        residual=_prior_rot3_res,
+        initializers={0: lambda params, pts: SO3_.exp(params["z"])},
+        coord_types=("c",) * 3,
+        doc="SO(3) rotation prior.",
+    )
+)
+
+
+def PriorRotation3(Z: Distribution = None):
+    return make_gaussian_factor(
+        PRIOR_ROTATION3, (), Z or MvNormal(np.zeros(3), np.diag([0.01] * 3))
+    )
