@@ -314,12 +314,25 @@ class FactorGraph:
             newpt = np.asarray(fn(factor.params, pts))
             self.set_point(rec.label, rec.manifold.normalize(newpt), solve_key)
 
-    def init_all(self, solve_key: str = "parametric", max_sweeps: int = 10):
-        """initAll! analogue: repeated sweeps of closed-form propagation until
-        no progress; anything left uninitialized gets the manifold identity."""
+    def init_all(self, solve_key: str = "parametric", max_sweeps: int = 1000):
+        """initAll! analogue: spanning-tree style propagation — repeated
+        sweeps of closed-form initializer propagation; whenever a sweep makes
+        no progress, seed the first remaining uninitialized variable with the
+        manifold identity (the gauge root) and continue. This avoids the
+        all-points-identical degenerate start (an exact saddle of the LM
+        objective for symmetric graphs)."""
+        remaining = [
+            fl
+            for fl in self._fct_order
+            if not all(
+                self.variables[v].initialized.get(solve_key, False)
+                for v in self.factors[fl].variables
+            )
+        ]
         for _ in range(max_sweeps):
             progress = False
-            for flabel in self._fct_order:
+            still = []
+            for flabel in remaining:
                 factor = self.factors[flabel]
                 before = [
                     self.variables[v].initialized.get(solve_key, False)
@@ -332,9 +345,27 @@ class FactorGraph:
                     self.variables[v].initialized.get(solve_key, False)
                     for v in factor.variables
                 ]
-                progress = progress or (before != after)
-            if not progress:
+                if before != after:
+                    progress = True
+                if not all(after):
+                    still.append(flabel)
+            remaining = still
+            if not remaining:
                 break
+            if not progress:
+                # seed a root: first uninitialized variable in insertion order
+                seeded = False
+                for label in self._var_order:
+                    rec = self.variables[label]
+                    if not rec.initialized.get(solve_key):
+                        rec.points[solve_key] = np.asarray(
+                            rec.manifold.identity(), dtype=np.float64
+                        )
+                        rec.initialized[solve_key] = True
+                        seeded = True
+                        break
+                if not seeded:
+                    break
         for label, rec in self.variables.items():
             if not rec.initialized.get(solve_key):
                 rec.points[solve_key] = np.asarray(rec.manifold.identity(), dtype=np.float64)

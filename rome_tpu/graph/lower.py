@@ -144,11 +144,19 @@ def lower(fg: FactorGraph, solve_key: str = "parametric", dtype=jnp.float32) -> 
 
 
 def write_back(fg: FactorGraph, ga: GraphArrays, values, solve_key: str = "parametric"):
-    """Push solved device values back into the graph records."""
+    """Push solved device values back into the graph records.
+
+    Frozen variables (free=0) are NOT written: they keep their original
+    float64 host values bit-identical — the fixed-lag freeze guarantee the
+    reference tests assert (testFixedLagFG.jl:113-121).
+    """
     for t in ga.type_names:
         arr = np.asarray(values[t], dtype=np.float64)
         man = ga.manifolds[t]
         arr = np.asarray(man.normalize(arr))
+        free = np.asarray(ga.free[t])
         for slot, label in enumerate(ga.var_labels[t]):
+            if free[slot] == 0.0:
+                continue
             fg.variables[label].points[solve_key] = arr[slot]
             fg.variables[label].initialized[solve_key] = True

@@ -202,6 +202,12 @@ class ParametricSolver:
         history = []
         cost_prev = None
         n_reject = 0
+        converged = False
+        reason = "max_iters"
+        # dtype-aware floor: in f32 the cost/gradient plateau well above the
+        # f64-style tolerances, so a stalled accepted plateau or repeated
+        # rejections with a tiny proposed step also count as converged.
+        step_floor = 1e-4 if ga.dtype == jnp.float32 else 1e-9
         for it in range(opts.max_iters):
             values, lam, cost0, cost1, gnorm, dnorm, ok = self._step(values, lam)
             okb = bool(ok)
@@ -217,24 +223,34 @@ class ParametricSolver:
                 )
             if okb:
                 n_reject = 0
-                if float(gnorm) < opts.gtol or float(dnorm) < opts.xtol:
+                if float(gnorm) < opts.gtol:
+                    converged, reason = True, "gtol"
+                    break
+                if float(dnorm) < opts.xtol:
+                    converged, reason = True, "xtol"
                     break
                 if cost_prev is not None and abs(cost_prev - float(cost1)) <= opts.ftol * max(
                     1.0, abs(cost_prev)
                 ):
+                    converged, reason = True, "ftol"
                     break
                 cost_prev = float(cost1)
             else:
                 n_reject += 1
+                if float(dnorm) < step_floor:
+                    converged, reason = True, "step_floor"
+                    break
                 if n_reject >= 8 or float(lam) >= opts.lam_max:
+                    converged, reason = (n_reject >= 8 and it > 2), "stalled"
                     break
         stats = SolveStats(
             iterations=len(history),
             final_cost=float(self._cost(values)),
             gnorm=float(history[-1]["gnorm"]) if history else 0.0,
-            converged=bool(history and (history[-1]["gnorm"] < opts.gtol or history[-1]["accepted"])),
+            converged=bool(converged),
             history=history,
             linear=self.linear,
+            reason=reason,
         )
         return values, stats
 
@@ -247,6 +263,7 @@ class SolveStats:
     converged: bool
     history: list
     linear: str
+    reason: str = ""
 
 
 # --------------------------- covariance recovery ---------------------------
