@@ -1,0 +1,149 @@
+"""Gaussian odometry accumulation + dead-reckon tether support (reference:
+/root/reference/src/services/OdometryUtils.jl).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from rome_tpu.distributions import MvNormal
+from rome_tpu.factors.base import Factor, gaussian_params
+from rome_tpu.factors.pose2 import MutablePose2Pose2Gaussian, Pose2Pose2
+from rome_tpu.graph.graph import FactorGraph
+from rome_tpu.variables import Pose2
+
+
+def _se2_mat(x):
+    """Homogeneous SE(2) matrix from (x, y, theta) — the reference's SE2()."""
+    c, s = np.cos(x[2]), np.sin(x[2])
+    return np.array([[c, -s, x[0]], [s, c, x[1]], [0, 0, 1.0]])
+
+
+def _se2_vee(H):
+    return np.array([H[0, 2], H[1, 2], np.arctan2(H[1, 0], H[0, 0])])
+
+
+def accumulate_discrete_local_frame(
+    mpp: Factor,
+    DX,
+    Qc,
+    dt: float = 1.0,
+    Fk=None,
+    Gk=None,
+):
+    """accumulateDiscreteLocalFrame! (OdometryUtils.jl:24-51): advance the
+    mutable odometry factor mean by ``X_2 = X_1 ∘ DX`` and propagate its
+    covariance ``P_{k+1} = Phi P_k Phi^T + Qd`` with first-order
+    continuous->discrete noise integration of the body-frame density Qc."""
+    assert mpp.ftype.name == "MutablePose2Pose2Gaussian"
+    DX = np.asarray(DX, dtype=np.float64)
+    Qc = np.asarray(Qc, dtype=np.float64)
+    mu = mpp.params["z"].copy()
+    Sigma = np.asarray(mpp.dists[0].cov())
+
+    Phik = _se2_mat(DX)
+    Gk = np.eye(3) if Gk is None else np.asarray(Gk)
+    # discrete noise: Qd ≈ Phi G Qc G^T Phi^T dt (Chirikjian Vol.II 2012 p.35
+    # first-order; matches IIF cont2disc usage in the reference)
+    Qd = Phik @ Gk @ Qc @ Gk.T @ Phik.T * dt
+
+    kXk1 = _se2_mat(mu) @ Phik
+    Cov = Phik @ Sigma @ Phik.T + Qd
+    check = np.linalg.norm(Cov - Cov.T)
+    assert check < 1.0, "covariance dangerously non-Hermitian"
+    Cov = 0.5 * (Cov + Cov.T)
+
+    mean = _se2_vee(kXk1)
+    mpp.params.update(gaussian_params(mean, Cov))
+    mpp.dists = (MvNormal(mean, Cov),)
+    return mpp
+
+
+def duplicate_to_standard_factor_variable(
+    mpp: Factor,
+    fg: FactorGraph,
+    prevsym: str,
+    newsym: str,
+    solvable: int = 1,
+    graphinit: bool = True,
+    cov: Optional[np.ndarray] = None,
+) -> str:
+    """duplicateToStandardFactorVariable (OdometryUtils.jl:67-86): snapshot
+    the accumulated mutable odometry into a standard Pose2Pose2 + new
+    variable. Returns the new factor label."""
+    mean = mpp.params["z"].copy()
+    C = np.asarray(mpp.dists[0].cov()) if cov is None else np.asarray(cov)
+    posepose = Pose2Pose2(MvNormal(mean, C))
+    fg.add_variable(newsym, Pose2, solvable=solvable, timestamp_ns=mpp.timestamp_ns)
+    fct = fg.add_factor(
+        [prevsym, newsym], posepose, solvable=solvable, graphinit=graphinit,
+        timestamp_ns=mpp.timestamp_ns,
+    )
+    return fct.label
+
+
+def reset_factor(mpp: Factor):
+    """resetFactor! (OdometryUtils.jl:93): zero the accumulated transform."""
+    mean = np.zeros(3)
+    cov = 1e-6 * np.eye(3)
+    mpp.params.update(gaussian_params(mean, cov))
+    mpp.dists = (MvNormal(mean, cov),)
+    return mpp
+
+
+def extract_delta_odo(XX, YY, TH):
+    """extractDeltaOdo (OdometryUtils.jl:111-128): recover body-frame deltas
+    from world-frame dead-reckoning traces."""
+    XX, YY, TH = (np.asarray(a, dtype=np.float64) for a in (XX, YY, TH))
+    n = len(XX)
+    DX = np.zeros((3, n))
+    for i in range(1, n):
+        wTbk = _se2_mat([XX[i - 1], YY[i - 1], TH[i - 1]])
+        wTbk1 = _se2_mat([XX[i], YY[i], TH[i]])
+        DX[:, i] = _se2_vee(np.linalg.inv(wTbk) @ wTbk1)
+    return DX
+
+
+def add_odo_fg(
+    fg: FactorGraph,
+    odo_factor: Factor,
+    solvable: int = 1,
+    graphinit: bool = True,
+) -> str:
+    """addOdoFG! (OdometryUtils.jl:206-280): append a new pose connected to
+    the latest ``x<n>`` pose by the given odometry factor; auto-increments
+    the pose label. Returns the new variable label."""
+    import re
+
+    xs = [l for l in fg.ls(r"^x\d+$")]
+    assert xs, "graph needs an initial pose (use initFactorGraph / ZeroPose)"
+    last = max(xs, key=lambda s: int(re.search(r"\d+", s).group()))
+    n = int(re.search(r"\d+", last).group()) + 1
+    new = f"x{n}"
+    fg.add_variable(new, Pose2, solvable=solvable)
+    fg.add_factor([last, new], odo_factor, solvable=solvable, graphinit=graphinit)
+    return new
+
+
+def trigger_pose(
+    x, x_last, trigger_dist: float, trigger_yaw: float
+) -> bool:
+    """triggerPose (OdometryUtils.jl:282-299): new-pose decision rule on
+    distance / yaw change."""
+    x, x_last = np.asarray(x), np.asarray(x_last)
+    dist = np.linalg.norm(x[:2] - x_last[:2])
+    from rome_tpu.utils.math import sym_rem
+
+    dyaw = abs(float(sym_rem(x[2] - x_last[2])))
+    return bool(dist >= trigger_dist or dyaw >= trigger_yaw)
+
+
+# reference-style aliases
+accumulateDiscreteLocalFrame = accumulate_discrete_local_frame
+duplicateToStandardFactorVariable = duplicate_to_standard_factor_variable
+resetFactor = reset_factor
+extractDeltaOdo = extract_delta_odo
+addOdoFG = add_odo_fg
+triggerPose = trigger_pose

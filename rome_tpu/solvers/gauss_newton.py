@@ -174,21 +174,31 @@ class ParametricSolver:
             cost0 = sum(0.5 * jnp.sum(r0 * r0) for _b, r0, _J in lins)
             delta, g = linear_solve(lins, lam)
             if isinstance(g, dict):
-                gnorm = jnp.sqrt(_tdot(g, g))
-                dnorm = jnp.sqrt(_tdot(delta, delta))
+                gvec = g
             else:
-                gnorm = jnp.linalg.norm(g)
-                dnorm = jnp.sqrt(_tdot(delta, delta))
+                gvec = unflatten_tangent(ga, g)
+            gnorm = jnp.sqrt(_tdot(gvec, gvec))
+            dnorm = jnp.sqrt(_tdot(delta, delta))
             trial = boxplus_all(values, delta)
             cost1 = cost_at(ga, trial)
+            # gain ratio: actual vs quadratic-model predicted reduction
+            Hd = hvp_from_lins(ga, lins, delta)
+            pred = -(_tdot(gvec, delta) + 0.5 * _tdot(delta, Hd))
+            rho = (cost0 - cost1) / jnp.where(pred > 1e-30, pred, 1e-30)
             ok = jnp.logical_and(jnp.isfinite(cost1), cost1 < cost0)
             new_values = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(ok, a, b), trial, values
             )
+            # Marquardt schedule: shrink lam only on good model agreement,
+            # grow it when the quadratic model overshoots (rho small) even if
+            # the step was accepted — kills the GN zigzag on rotation-heavy
+            # graphs (Manhattan) without rejecting progress.
+            grow = jnp.minimum(lam * opts.lam_up, opts.lam_max)
+            shrink = jnp.maximum(lam * opts.lam_down, opts.lam_min)
             new_lam = jnp.where(
-                ok,
-                jnp.maximum(lam * opts.lam_down, opts.lam_min),
-                jnp.minimum(lam * opts.lam_up, opts.lam_max),
+                ~ok,
+                grow,
+                jnp.where(rho < 0.25, grow, jnp.where(rho > 0.7, shrink, lam)),
             )
             return new_values, new_lam, cost0, cost1, gnorm, dnorm, ok
 

@@ -28,6 +28,7 @@ def solve_graph_parametric(
     options: Optional[GNOptions] = None,
     compute_covariances: bool = False,
     dtype=None,
+    chordal_init: bool = True,
 ):
     """Batch nonlinear least-squares solve of the whole graph.
 
@@ -66,8 +67,13 @@ def solve_graph_parametric(
         lam0=fg.params.lm_lambda0,
     )
     t0 = time.time()
+    values0 = ga.values0
+    if chordal_init and "Pose2" in ga.counts and ga.counts["Pose2"] > 2:
+        from rome_tpu.solvers.init2d import chordal_init_pose2
+
+        values0 = chordal_init_pose2(ga, values0)
     solver = ParametricSolver(ga, opts)
-    values, stats = solver.solve()
+    values, stats = solver.solve(values0)
     dt = time.time() - t0
 
     write_back(fg, ga, values, solve_key)
