@@ -13,7 +13,7 @@ from rome_tpu.factors.base import (
     FactorType,
     register_factor_type,
 )
-from rome_tpu.utils.math import rot2, sym_rem
+from rome_tpu.utils.math import rot2, sym_rem, safe_norm
 from rome_tpu.variables import Point2, Pose2
 
 
@@ -50,7 +50,7 @@ def Pose2Point2Bearing(Z: Distribution):
 # --- Pose2Point2Range (Range2D.jl:42-54) -----------------------------------
 
 def _pose_range_res(params, p, l):
-    return params["z"] - jnp.linalg.norm(l[:2] - p[:2])
+    return params["z"] - safe_norm(l[:2] - p[:2])
 
 
 POSE2POINT2RANGE = register_factor_type(
@@ -78,7 +78,7 @@ def Pose2Point2Range(Z: Distribution):
 def _bearing_range_res(params, p, l):
     pl = _body_frame_point(p, l)
     dth = sym_rem(params["z"][0] - jnp.arctan2(pl[1], pl[0]))
-    dr = params["z"][1] - jnp.linalg.norm(pl)
+    dr = params["z"][1] - safe_norm(pl)
     return jnp.stack([dth, dr])
 
 

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from rome_tpu.utils.math import safe_norm
+
 from rome_tpu.distributions import Distribution, Normal
 from rome_tpu.factors.base import (
     FactorType,
@@ -67,7 +69,7 @@ def Point2Point2(Z: Distribution):
 # --- Point2Point2Range (Range2D.jl:7-20): rho - ||lm - xi|| ----------------
 
 def _point2point2range_res(params, xi, lm):
-    return params["z"] - jnp.linalg.norm(lm[:2] - xi[:2])
+    return params["z"] - safe_norm(lm[:2] - xi[:2])
 
 
 POINT2POINT2RANGE = register_factor_type(

@@ -133,9 +133,11 @@ def Pose3Pose3Transform(Z: Distribution = None):
 # scale-free: translation part of the error is normalized.
 
 def _pose3pose3_unittrans_res(params, p, q):
+    from rome_tpu.utils.math import safe_norm
+
     xc = _pose3pose3_res(params, p, q)
     t = xc[:3]
-    tn = t / (jnp.linalg.norm(t) + 1e-12)
+    tn = t / safe_norm(t)
     return jnp.concatenate([tn, xc[3:]])
 
 

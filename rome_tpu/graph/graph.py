@@ -138,16 +138,37 @@ class FactorGraph:
             if v not in self.variables:
                 raise KeyError(f"unknown variable {v!r}")
         expect = factor.ftype.variable_types
-        if len(var_labels) != len(expect):
-            raise ValueError(
-                f"{factor.ftype.name} expects {len(expect)} variables, got {len(var_labels)}"
-            )
-        for v, et in zip(var_labels, expect):
-            at = self.variables[v].vtype
-            if at.name != et.name:
-                raise TypeError(
-                    f"{factor.ftype.name} slot expects {et.name}, variable {v} is {at.name}"
+        if multihypo is not None and len(var_labels) > len(expect):
+            # reference multihypo layout (testMultimodalRangeBearing.jl:53):
+            # extra variables are data-association candidates for the LAST
+            # factor slot; all must share that slot's type
+            for v, et in zip(var_labels[: len(expect) - 1], expect[:-1]):
+                at = self.variables[v].vtype
+                if at.name != et.name:
+                    raise TypeError(
+                        f"{factor.ftype.name} slot expects {et.name}, variable {v} is {at.name}"
+                    )
+            last = expect[-1]
+            for v in var_labels[len(expect) - 1 :]:
+                at = self.variables[v].vtype
+                if at.name != last.name:
+                    raise TypeError(
+                        f"{factor.ftype.name} candidate slot expects {last.name}, "
+                        f"variable {v} is {at.name}"
+                    )
+            if len(multihypo) != len(var_labels):
+                raise ValueError("multihypo length must match variables")
+        else:
+            if len(var_labels) != len(expect):
+                raise ValueError(
+                    f"{factor.ftype.name} expects {len(expect)} variables, got {len(var_labels)}"
                 )
+            for v, et in zip(var_labels, expect):
+                at = self.variables[v].vtype
+                if at.name != et.name:
+                    raise TypeError(
+                        f"{factor.ftype.name} slot expects {et.name}, variable {v} is {at.name}"
+                    )
         factor.variables = var_labels
         factor.label = label or (factor.ftype.name.lower() + "f_" + "_".join(var_labels))
         if factor.label in self.factors:

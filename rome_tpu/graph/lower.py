@@ -102,6 +102,11 @@ def lower(fg: FactorGraph, solve_key: str = "parametric", dtype=jnp.float32) -> 
         f = fg.factors[flabel]
         if f.solvable <= 0:
             continue
+        if len(f.variables) != f.ftype.arity:
+            # multihypo-extended factor: data association is a sampling
+            # concept; the parametric path skips it (as the reference's
+            # parametric solver does)
+            continue
         recs = [fg.variables[v] for v in f.variables]
         if all(r.solvable <= 0 or r.marginalized for r in recs):
             continue

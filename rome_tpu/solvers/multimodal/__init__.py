@@ -1,0 +1,4 @@
+"""Nonparametric multimodal solver subpackage."""
+from rome_tpu.solvers.multimodal.kde import ManifoldKernelDensity, gibbs_product, manifold_mean, silverman_bandwidth
+from rome_tpu.solvers.multimodal.convolve import approx_conv, approxConv
+from rome_tpu.solvers.multimodal.solve import solve_graph_nonparametric, init_all_beliefs, predict_belief, solveTree

@@ -1,0 +1,172 @@
+"""Manifold kernel-density estimation + belief products.
+
+Re-designs the reference's AMP/KDE layer (ApproxManifoldProducts
+ManifoldKernelDensity / manikde!, KernelDensityEstimate prodAppxMSGibbsS —
+SURVEY.md §0 table) as batched JAX kernels:
+
+- a belief is a dense particle array ``(N, point_dim)`` + per-dof bandwidth;
+- kernel evaluations between particle sets are N x N batched ops (vmapped
+  manifold ``local`` + Gaussian kernels, MXU/VPU-friendly);
+- the multi-density product is a parallel Gibbs label sampler over kernel
+  selections (the prodAppxMSGibbsS analogue), fully vectorized over output
+  particles — no sequential per-sample loop.
+
+Circular dims are handled through the manifold ``local`` map (angle wrap).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rome_tpu.manifolds.base import Manifold
+
+
+def silverman_bandwidth(man: Manifold, points) -> jnp.ndarray:
+    """Per-dof rule-of-thumb bandwidth from tangent spread about the mean."""
+    n = points.shape[0]
+    mu = manifold_mean(man, points)
+    loc = man.local(mu[None, :], points)  # (N, dof)
+    std = jnp.std(loc, axis=0) + 1e-6
+    return std * (4.0 / (loc.shape[-1] + 2.0) / max(n, 2)) ** (1.0 / (loc.shape[-1] + 4.0))
+
+
+def manifold_mean(man: Manifold, points, iters: int = 3) -> jnp.ndarray:
+    """Karcher-style mean: iterate mu <- mu ⊕ mean(local(mu, p))."""
+    mu = points[0]
+
+    def body(_, mu):
+        d = man.local(mu[None, :], points)
+        return man.normalize(man.boxplus(mu, jnp.mean(d, axis=0)))
+
+    return jax.lax.fori_loop(0, iters, body, mu)
+
+
+@dataclass
+class ManifoldKernelDensity:
+    """manikde! analogue: particle kernel density on a manifold."""
+
+    manifold: Manifold
+    points: jnp.ndarray          # (N, point_dim)
+    bandwidth: jnp.ndarray       # (dof,) kernel std-devs
+
+    @classmethod
+    def from_points(cls, man: Manifold, points, bandwidth=None):
+        points = jnp.asarray(points)
+        bw = (
+            jnp.asarray(bandwidth)
+            if bandwidth is not None
+            else silverman_bandwidth(man, points)
+        )
+        return cls(man, points, jnp.maximum(bw, 1e-5))
+
+    @property
+    def N(self):
+        return self.points.shape[0]
+
+    def mean(self):
+        return manifold_mean(self.manifold, self.points)
+
+    def logpdf(self, x):
+        """Log density at point(s) x (…, point_dim)."""
+        man, bw = self.manifold, self.bandwidth
+
+        def one(xp):
+            d = man.local(self.points, jnp.broadcast_to(xp, self.points.shape))
+            q = -0.5 * jnp.sum((d / bw) ** 2, axis=-1)
+            logz = jnp.sum(jnp.log(bw)) + 0.5 * d.shape[-1] * jnp.log(2 * jnp.pi)
+            return jax.scipy.special.logsumexp(q) - jnp.log(self.N) - logz
+
+        if x.ndim == 1:
+            return one(x)
+        return jax.vmap(one)(x)
+
+    def sample(self, key, n: int):
+        """Draw n samples: pick kernels uniformly, perturb in tangent."""
+        k1, k2 = jax.random.split(key)
+        idx = jax.random.randint(k1, (n,), 0, self.N)
+        eps = jax.random.normal(k2, (n, self.bandwidth.shape[0])) * self.bandwidth
+        base = self.points[idx]
+        return self.manifold.normalize(self.manifold.boxplus(base, eps))
+
+    def max_point(self):
+        """getKDEMax analogue: particle with highest density."""
+        lp = self.logpdf(self.points)
+        return self.points[jnp.argmax(lp)]
+
+
+def gibbs_product(
+    key,
+    densities,
+    n_out: int = None,
+    sweeps: int = 3,
+):
+    """Product of kernel densities on a shared manifold — the
+    ``prodAppxMSGibbsS`` analogue (BayesTracker.jl:260-285 usage).
+
+    Parallel Gibbs over kernel-label assignments: every output particle
+    holds one selected kernel per input density; sweeps resample each
+    density's label from the Gaussian-product conditional given the other
+    selections; the output particle is the tangent-space Gaussian-product
+    mean of its selected kernels (plus product-covariance noise).
+    """
+    man = densities[0].manifold
+    N = n_out or densities[0].N
+    m = len(densities)
+    if m == 1:
+        return densities[0].sample(key, N)
+
+    keys = jax.random.split(key, m * (sweeps + 1) + 2)
+
+    # initial labels: uniform per density
+    labels = [
+        jax.random.randint(keys[j], (N,), 0, densities[j].N) for j in range(m)
+    ]
+
+    lam = [1.0 / (d.bandwidth**2) for d in densities]  # (dof,) precisions
+
+    def selected_means(labels):
+        return [d.points[l] for d, l in zip(densities, labels)]  # list (N, pdim)
+
+    def product_estimate(sel, exclude=None):
+        """Tangent-space precision-weighted mean of selected kernels,
+        linearized at the first included selection. Returns (ref_pt (N,pdim),
+        mean_coords (N,dof), total precision (dof,))."""
+        include = [j for j in range(m) if j != exclude]
+        ref = sel[include[0]]
+        num = jnp.zeros((N, densities[0].bandwidth.shape[0]))
+        den = jnp.zeros((densities[0].bandwidth.shape[0],))
+        for j in include:
+            c = man.local(ref, sel[j])  # (N, dof)
+            num = num + lam[j] * c
+            den = den + lam[j]
+        return ref, num / den, den
+
+    ki = m
+    for s in range(sweeps):
+        for j in range(m):
+            sel = selected_means(labels)
+            ref, mu_c, prec = product_estimate(sel, exclude=j)
+            # conditional weight of every kernel i of density j against the
+            # product-of-others Gaussian: N(local(ref, p_i); mu_c, 1/prec + bw_j^2)
+            var = 1.0 / prec + densities[j].bandwidth**2  # (dof,)
+            # coords of all kernels of density j wrt each particle's ref
+            def coords_for(ref_k, pts=densities[j].points):
+                return man.local(jnp.broadcast_to(ref_k, pts.shape), pts)
+
+            C = jax.vmap(coords_for)(ref)          # (N, Nj, dof)
+            d2 = (C - mu_c[:, None, :]) ** 2 / var  # (N, Nj, dof)
+            logw = -0.5 * jnp.sum(d2, axis=-1)      # (N, Nj)
+            labels[j] = jax.random.categorical(keys[ki], logw, axis=-1)
+            ki += 1
+
+    # final product sample
+    sel = selected_means(labels)
+    ref, mu_c, prec = product_estimate(sel)
+    std = jnp.sqrt(1.0 / prec)
+    eps = jax.random.normal(keys[-1], mu_c.shape) * std
+    out = man.boxplus(ref, mu_c + eps)
+    return man.normalize(out)

@@ -104,6 +104,12 @@ def skew3(v):
     )
 
 
+def safe_norm(v, axis=-1, eps=1e-12):
+    """Differentiable-at-zero Euclidean norm (norm grad at 0 is NaN in JAX;
+    particles can legitimately land on top of each other in approxConv)."""
+    return jnp.sqrt(jnp.sum(v * v, axis=axis) + eps)
+
+
 def rot2(theta):
     """SO(2) rotation matrix from angle, (...,) -> (...,2,2)."""
     c, s = jnp.cos(theta), jnp.sin(theta)
