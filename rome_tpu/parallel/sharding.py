@@ -240,7 +240,7 @@ def make_sharded_gn_step(
         mesh=mesh,
         in_specs=(vspec, P(), bspec),
         out_specs=(vspec, P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     jitted = jax.jit(sharded)
 
