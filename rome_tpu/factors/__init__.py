@@ -40,6 +40,15 @@ from rome_tpu.factors.pose3 import (
     PriorRotation3,
 )
 from rome_tpu.factors.polar import PolarPolar, PriorPolar
+from rome_tpu.factors.inertial import (
+    IMUDeltaFactor,
+    PriorIMUBias,
+    PriorRotVelPos,
+    PriorVelPos3,
+    VelAlign,
+    VelPosRotVelPos,
+    preintegrate_imu,
+)
 
 __all__ = [
     "Factor",
@@ -71,4 +80,11 @@ __all__ = [
     "PriorRotation3",
     "PriorPolar",
     "PolarPolar",
+    "IMUDeltaFactor",
+    "preintegrate_imu",
+    "PriorRotVelPos",
+    "PriorVelPos3",
+    "PriorIMUBias",
+    "VelPosRotVelPos",
+    "VelAlign",
 ]

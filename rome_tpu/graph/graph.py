@@ -18,6 +18,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from rome_tpu.distributions import Distribution
+from rome_tpu.utils.host import host_default_device, on_host
 from rome_tpu.factors.base import Factor
 from rome_tpu.variables import VariableType, get_variable_type
 
@@ -256,12 +257,14 @@ class FactorGraph:
     def get_coords(self, label: str, solve_key: str = "parametric") -> np.ndarray:
         """Tangent coords of the point (log); e.g. Pose2 -> (x, y, theta)."""
         rec = self.variables[str(label)]
-        return np.asarray(rec.manifold.log(np.asarray(rec.points[solve_key])))
+        with host_default_device():
+            return np.asarray(rec.manifold.log(np.asarray(rec.points[solve_key])))
 
     def set_coords(self, label: str, coords, solve_key: str = "parametric"):
         rec = self.variables[str(label)]
         coords = np.asarray(coords, dtype=np.float64).reshape(rec.vtype.dof)
-        self.set_point(label, np.asarray(rec.manifold.exp(coords)), solve_key)
+        with host_default_device():
+            self.set_point(label, np.asarray(rec.manifold.exp(coords)), solve_key)
 
     def init_variable(self, label: str, value, solve_key: str = "parametric"):
         """initVariable! analogue: value may be a Distribution (mean taken as
@@ -311,6 +314,7 @@ class FactorGraph:
     # ------------------------------------------------------------------
     # initialization (initAll! analogue)
     # ------------------------------------------------------------------
+    @on_host
     def _graphinit_factor(self, factor: Factor, solve_key: str = "parametric"):
         """On addFactor!: if exactly the reference graphinit behavior —
         propagate an estimate through the new factor into any uninitialized
@@ -335,6 +339,7 @@ class FactorGraph:
             newpt = np.asarray(fn(factor.params, pts))
             self.set_point(rec.label, rec.manifold.normalize(newpt), solve_key)
 
+    @on_host
     def init_all(self, solve_key: str = "parametric", max_sweeps: int = 1000):
         """initAll! analogue: spanning-tree style propagation — repeated
         sweeps of closed-form initializer propagation; whenever a sweep makes
