@@ -34,12 +34,31 @@ from rome_tpu.factors.point3 import Point3Point3, PriorPoint3
 from rome_tpu.factors.pose3 import (
     Pose3Pose3,
     Pose3Pose3RotOffset,
+    Pose3Pose3Rotation,
     Pose3Pose3Transform,
     Pose3Pose3UnitTrans,
+    Pose3Pose3XYYaw,
     PriorPose3,
+    PriorPose3ZRP,
     PriorRotation3,
 )
 from rome_tpu.factors.polar import PolarPolar, PriorPolar
+from rome_tpu.factors.dyn2d import (
+    DynPoint2DynPoint2,
+    DynPoint2VelocityPrior,
+    DynPose2DynPose2,
+    DynPose2Pose2,
+    DynPose2VelocityPrior,
+    Point2Point2Velocity,
+    VelPoint2VelPoint2,
+    VelPose2VelPose2,
+)
+from rome_tpu.factors.sensors import (
+    LinearRangeBearingElevation,
+    MultipleFeatures2D,
+    RangeAzimuthElevation,
+    range_azimuth_elevation,
+)
 from rome_tpu.factors.inertial import (
     IMUDeltaFactor,
     PriorIMUBias,
@@ -77,9 +96,24 @@ __all__ = [
     "Pose3Pose3RotOffset",
     "Pose3Pose3Transform",
     "Pose3Pose3UnitTrans",
+    "PriorPose3ZRP",
+    "Pose3Pose3XYYaw",
+    "Pose3Pose3Rotation",
     "PriorRotation3",
     "PriorPolar",
     "PolarPolar",
+    "LinearRangeBearingElevation",
+    "MultipleFeatures2D",
+    "RangeAzimuthElevation",
+    "range_azimuth_elevation",
+    "DynPoint2VelocityPrior",
+    "DynPoint2DynPoint2",
+    "Point2Point2Velocity",
+    "VelPoint2VelPoint2",
+    "DynPose2VelocityPrior",
+    "DynPose2Pose2",
+    "DynPose2DynPose2",
+    "VelPose2VelPose2",
     "IMUDeltaFactor",
     "preintegrate_imu",
     "PriorRotVelPos",

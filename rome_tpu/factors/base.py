@@ -44,6 +44,10 @@ class FactorType:
     # reference `partial=` semantics: which tangent dims of the LAST variable
     # the factor constrains (PartialPose3.jl:12-46); None = all dims
     partial: Optional[tuple] = None
+    # reference `cfo.fullvariables[k].nstime` semantics (DynPoint2D.jl:25):
+    # when True, addFactor! injects params["dt"] = (t_last - t_first) seconds
+    # from the bound variables' timestamps (unless the ctor already set it)
+    needs_dt: bool = False
     doc: str = ""
 
     @property
