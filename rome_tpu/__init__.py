@@ -41,6 +41,15 @@ from rome_tpu.factors.base import (
     list_factor_types,
     register_factor_type,
 )
+from rome_tpu.io import (
+    export_g2o,
+    import_g2o,
+    load_dfg,
+    load_g2o,
+    loadDFG,
+    save_dfg,
+    saveDFG,
+)
 from rome_tpu.solvers.parametric import solve_graph_parametric, solveGraphParametric
 from rome_tpu.solvers.gauss_newton import GNOptions
 

@@ -204,63 +204,147 @@ class ParametricSolver:
 
         return step
 
+    # -- fused on-device outer loop ------------------------------------------
+    # Reason codes for the while_loop convergence logic (0 = still running)
+    _REASONS = {
+        0: "max_iters",
+        1: "gtol",
+        2: "xtol",
+        3: "ftol",
+        4: "step_floor",
+        5: "stalled",
+    }
+
+    def _make_solve_loop(self):
+        """The whole LM solve as ONE jitted XLA program: lax.while_loop over
+        LM iterations with the accept/convergence logic in-graph. A Python
+        outer loop costs a host<->device round-trip per iteration — over a
+        remote-tunnel TPU that dominated solve time (~0.5 s/iter on
+        Manhattan-3500)."""
+        ga, opts = self.ga, self.opts
+        step = self._make_step()
+        step_floor = 1e-4 if ga.dtype == jnp.float32 else 1e-9
+        max_iters = int(opts.max_iters)
+
+        def loop(values, lam):
+            hist0 = jnp.zeros((max_iters, 6), dtype=jnp.float32)
+
+            def cond(state):
+                _v, _lam, it, _cp, _nr, code, _g, _h = state
+                return jnp.logical_and(it < max_iters, code == 0)
+
+            def body(state):
+                values, lam, it, cost_prev, n_rej, code, _g, hist = state
+                new_values, new_lam, cost0, cost1, gnorm, dnorm, ok = step(
+                    values, lam
+                )
+                hist = hist.at[it].set(
+                    jnp.stack(
+                        [cost0, cost1, gnorm, dnorm,
+                         ok.astype(cost0.dtype), new_lam]
+                    ).astype(jnp.float32)
+                )
+                # accepted-branch convergence
+                ftol_hit = jnp.abs(cost_prev - cost1) <= opts.ftol * jnp.maximum(
+                    1.0, jnp.abs(cost_prev)
+                )
+                acc_code = jnp.where(
+                    gnorm < opts.gtol,
+                    1,
+                    jnp.where(
+                        dnorm < opts.xtol,
+                        2,
+                        jnp.where(
+                            jnp.logical_and(jnp.isfinite(cost_prev), ftol_hit), 3, 0
+                        ),
+                    ),
+                )
+                # rejected-branch convergence
+                n_rej_new = jnp.where(ok, 0, n_rej + 1)
+                rej_code = jnp.where(
+                    dnorm < step_floor,
+                    4,
+                    jnp.where(
+                        jnp.logical_or(n_rej_new >= 8, new_lam >= opts.lam_max),
+                        5,
+                        0,
+                    ),
+                )
+                new_code = jnp.where(ok, acc_code, rej_code).astype(jnp.int32)
+                new_cost_prev = jnp.where(ok, cost1, cost_prev)
+                return (
+                    new_values,
+                    new_lam,
+                    it + 1,
+                    new_cost_prev,
+                    n_rej_new,
+                    new_code,
+                    gnorm,
+                    hist,
+                )
+
+            init = (
+                values,
+                lam,
+                jnp.zeros((), jnp.int32),
+                jnp.asarray(jnp.inf, dtype=ga.dtype),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((), dtype=ga.dtype),
+                hist0,
+            )
+            values, lam, it, _cp, n_rej, code, gnorm, hist = jax.lax.while_loop(
+                cond, body, init
+            )
+            final_cost = cost_at(ga, values)
+            return values, it, code, n_rej, gnorm, final_cost, hist
+
+        return loop
+
     # -- outer loop ----------------------------------------------------------
     def solve(self, values=None):
         ga, opts = self.ga, self.opts
         values = values or ga.values0
         lam = jnp.asarray(opts.lam0, dtype=ga.dtype)
-        history = []
-        cost_prev = None
-        n_reject = 0
-        converged = False
-        reason = "max_iters"
-        # dtype-aware floor: in f32 the cost/gradient plateau well above the
-        # f64-style tolerances, so a stalled accepted plateau or repeated
-        # rejections with a tiny proposed step also count as converged.
-        step_floor = 1e-4 if ga.dtype == jnp.float32 else 1e-9
-        for it in range(opts.max_iters):
-            values, lam, cost0, cost1, gnorm, dnorm, ok = self._step(values, lam)
-            okb = bool(ok)
-            history.append(
-                dict(iter=it, cost0=float(cost0), cost1=float(cost1),
-                     gnorm=float(gnorm), dnorm=float(dnorm), accepted=okb,
-                     lam=float(lam))
+        if not hasattr(self, "_solve_loop"):
+            self._solve_loop = jax.jit(self._make_solve_loop())
+        values, it, code, n_rej, gnorm, final_cost, hist = self._solve_loop(
+            values, lam
+        )
+        it = int(it)
+        code = int(code)
+        hist = [
+            dict(
+                iter=k,
+                cost0=float(h[0]),
+                cost1=float(h[1]),
+                gnorm=float(h[2]),
+                dnorm=float(h[3]),
+                accepted=bool(h[4] > 0.5),
+                lam=float(h[5]),
             )
-            if opts.verbose:
+            for k, h in enumerate(list(jax.device_get(hist))[:it])
+        ]
+        if opts.verbose:
+            for h in hist:
                 print(
-                    f"  LM it={it} cost={float(cost0):.6g}->{float(cost1):.6g} "
-                    f"|g|={float(gnorm):.3g} |dx|={float(dnorm):.3g} ok={okb} lam={float(lam):.1e}"
+                    f"  LM it={h['iter']} cost={h['cost0']:.6g}->{h['cost1']:.6g} "
+                    f"|g|={h['gnorm']:.3g} |dx|={h['dnorm']:.3g} "
+                    f"ok={h['accepted']} lam={h['lam']:.1e}"
                 )
-            if okb:
-                n_reject = 0
-                if float(gnorm) < opts.gtol:
-                    converged, reason = True, "gtol"
-                    break
-                if float(dnorm) < opts.xtol:
-                    converged, reason = True, "xtol"
-                    break
-                if cost_prev is not None and abs(cost_prev - float(cost1)) <= opts.ftol * max(
-                    1.0, abs(cost_prev)
-                ):
-                    converged, reason = True, "ftol"
-                    break
-                cost_prev = float(cost1)
-            else:
-                n_reject += 1
-                if float(dnorm) < step_floor:
-                    converged, reason = True, "step_floor"
-                    break
-                if n_reject >= 8 or float(lam) >= opts.lam_max:
-                    converged, reason = (n_reject >= 8 and it > 2), "stalled"
-                    break
+        # converged semantics match the old host loop: any tolerance hit
+        # counts; "stalled" counts only after enough rejects past warmup
+        converged = code in (1, 2, 3, 4) or (
+            code == 5 and int(n_rej) >= 8 and it > 3
+        )
         stats = SolveStats(
-            iterations=len(history),
-            final_cost=float(self._cost(values)),
-            gnorm=float(history[-1]["gnorm"]) if history else 0.0,
+            iterations=it,
+            final_cost=float(final_cost),
+            gnorm=float(gnorm),
             converged=bool(converged),
-            history=history,
+            history=hist,
             linear=self.linear,
-            reason=reason,
+            reason=self._REASONS.get(code, "max_iters"),
         )
         return values, stats
 

@@ -114,3 +114,10 @@ def rot2(theta):
     """SO(2) rotation matrix from angle, (...,) -> (...,2,2)."""
     c, s = jnp.cos(theta), jnp.sin(theta)
     return jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)
+
+
+def sym_rem_np(theta):
+    """Numpy twin of sym_rem for host-side code paths."""
+    import numpy as _np
+
+    return _np.arctan2(_np.sin(theta), _np.cos(theta))
