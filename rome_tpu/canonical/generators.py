@@ -49,6 +49,7 @@ def _add_pose_canonical(
     variable_tags=(),
     factor_tags=(),
     do_ref: bool = True,
+    override_ppe=None,
     postpose_cb: Optional[Callable] = None,
 ):
     """_addPoseCanonical! analogue (GenerateCommon.jl:17-55)."""
@@ -57,7 +58,12 @@ def _add_pose_canonical(
     labels = [gen_label] if factor.ftype.is_prior else [prev_label, gen_label]
     fg.add_factor(labels, factor, graphinit=graphinit, solvable=solvable, tags=factor_tags)
     if do_ref:
-        fg.set_ppe(gen_label, _sim_compose(fg, prev_label, factor, pose_type), "simulated")
+        ppe = (
+            np.asarray(override_ppe, dtype=np.float64)
+            if override_ppe is not None
+            else _sim_compose(fg, prev_label, factor, pose_type)
+        )
+        fg.set_ppe(gen_label, ppe, "simulated")
     if postpose_cb is not None:
         postpose_cb(fg, gen_label)
     return fg.get_variable(gen_label)
