@@ -128,16 +128,30 @@ def add_odo_fg(
 
 
 def trigger_pose(
-    x, x_last, trigger_dist: float, trigger_yaw: float
-) -> bool:
-    """triggerPose (OdometryUtils.jl:282-299): new-pose decision rule on
-    distance / yaw change."""
+    x, x_last, t_now=None, t_prev=None, distrule=0.5, timerule=1e12, yawrule=0.3
+) -> int:
+    """triggerPose (OdometryUtils.jl:282-299): new-pose decision rule.
+
+    Returns 1 on distance trigger, 2 on yaw trigger, 3 on time trigger,
+    0 otherwise. Two-argument form ``trigger_pose(x, xprev, dist, yaw)`` is
+    also accepted for convenience (time rule disabled).
+    """
+    if t_now is not None and t_prev is None:
+        # legacy convenience: (x, xprev, distrule, yawrule)
+        distrule, yawrule = float(t_now), float(distrule)
+        t_now = t_prev = 0.0
+    t_now = 0.0 if t_now is None else float(t_now)
+    t_prev = 0.0 if t_prev is None else float(t_prev)
     x, x_last = np.asarray(x), np.asarray(x_last)
-    dist = np.linalg.norm(x[:2] - x_last[:2])
+    if np.linalg.norm(x[:2] - x_last[:2]) >= distrule:
+        return 1
     from rome_tpu.utils.math import sym_rem
 
-    dyaw = abs(float(sym_rem(x[2] - x_last[2])))
-    return bool(dist >= trigger_dist or dyaw >= trigger_yaw)
+    if abs(float(sym_rem(x[2] - x_last[2]))) >= yawrule:
+        return 2
+    if t_now - t_prev > timerule:
+        return 3
+    return 0
 
 
 # reference-style aliases
