@@ -44,6 +44,7 @@ class SLAMWrapperLocal:
     solve_settings: ManageSolveSettings = field(default_factory=ManageSolveSettings)
     solve_count: int = 0
     timing_log: list = field(default_factory=list)
+    tree: object = None  # recycled Bayes tree across solves (solveTree!(fg, tree))
 
     def get_solver_params(self) -> SolverParams:
         return self.dfg.params
@@ -179,6 +180,19 @@ def manage_solve_tree(
     th = threading.Thread(target=loop, daemon=True, name="manageSolveTree")
     th.start()
     return th
+
+
+def tree_solve_fn(slam: SLAMWrapperLocal, **solve_kw):
+    """solve_fn for manage_solve_tree that runs the Bayes-tree nonparametric
+    solve with tree recycling across cycles (Slam.jl:261 tree = solveTree!
+    (dfg, tree))."""
+    from rome_tpu.solvers.multimodal.tree import solve_tree
+
+    def fn(fg):
+        slam.tree = solve_tree(fg, slam.tree, **solve_kw)
+        return slam.tree
+
+    return fn
 
 
 # reference-style aliases

@@ -1,0 +1,293 @@
+"""Bayes tree — variable elimination, clique tree, and tree-scheduled solves.
+
+Reference contract (SURVEY.md §3.2): IIF builds a Bayes tree from a variable
+elimination ordering (getEliminationOrder -> buildTreeFromOrdering!,
+exercised at test/testDeadReckoningTether.jl:56-60), then runs clique-wise
+upsolve/downsolve belief propagation, recycling unchanged cliques on
+re-solve (solveTree!(fg, tree); calcCliquesRecycled counters at
+examples/ManhattanDatasetIncremental.jl:112-115).
+
+TPU design stance (SURVEY.md §7 hard parts): the tree is host-side
+scheduling metadata; the per-clique work (approxConv messages, Gibbs belief
+products) stays as the engine's batched device kernels. Cliques on the same
+tree level are independent and dispatch together.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import numpy as np
+
+from rome_tpu.graph.graph import FactorGraph
+
+
+# ----------------------- elimination ordering -------------------------------
+
+def get_elimination_order(fg: FactorGraph, constraints=(), maxincidence: Optional[int] = None):
+    """Approximate-minimum-degree elimination order over solvable variables.
+
+    ``constraints`` lists variables forced to the END of the order (eliminated
+    last -> near the root), mirroring IIF's constraint kwarg. ``maxincidence``
+    guards against hub variables exploding fill-in (SolverParams.maxincidence,
+    MITDatasetBatch.jl:42)."""
+    maxincidence = maxincidence or fg.params.maxincidence
+    # adjacency between variables through shared factors
+    adj: dict[str, set] = {}
+    for flabel in fg._fct_order:
+        f = fg.factors[flabel]
+        if f.solvable <= 0:
+            continue
+        vs = [v for v in f.variables if fg.variables[v].solvable > 0]
+        for v in vs:
+            adj.setdefault(v, set()).update(u for u in vs if u != v)
+    for v in fg._var_order:
+        if fg.variables[v].solvable > 0:
+            adj.setdefault(v, set())
+
+    # hub guard: a variable with more connections than maxincidence signals a
+    # malformed graph (SolverParams.maxincidence semantics)
+    for v, n in adj.items():
+        if len(n) > maxincidence:
+            raise RuntimeError(
+                f"variable {v} exceeds maxincidence={maxincidence} "
+                f"({len(n)} neighbors)"
+            )
+
+    last = [v for v in constraints if v in adj]
+    order = []
+    work = {v: set(n) for v, n in adj.items() if v not in last}
+    while work:
+        # min-degree choice, insertion order as tiebreak
+        v = min(work, key=lambda u: (len(work[u]), fg._var_order.index(u)))
+        order.append(v)
+        nbrs = work.pop(v)
+        # connect the eliminated variable's neighbors (fill-in)
+        for a in nbrs:
+            if a in work:
+                work[a].discard(v)
+                work[a].update(b for b in nbrs if b != a and b in work)
+    order.extend(last)
+    return order
+
+
+# ----------------------------- tree types -----------------------------------
+
+@dataclass
+class Clique:
+    index: int
+    frontals: list
+    separator: list
+    factors: list = field(default_factory=list)
+    parent: Optional[int] = None
+    children: list = field(default_factory=list)
+    # content signature for recycling decisions
+    signature: tuple = ()
+
+    @property
+    def variables(self):
+        return list(self.frontals) + list(self.separator)
+
+    def __repr__(self):
+        return f"Clique({','.join(self.frontals)} | {','.join(self.separator)})"
+
+
+@dataclass
+class BayesTree:
+    cliques: list                      # list[Clique], root is index 0
+    order: list                        # elimination order used
+    levels: list = field(default_factory=list)  # list[list[int]] root-first
+    build_time: float = 0.0
+    num_recycled: int = 0
+
+    @property
+    def num_cliques(self):
+        return len(self.cliques)
+
+    def clique_of(self, var: str) -> Optional[Clique]:
+        for c in self.cliques:
+            if var in c.frontals:
+                return c
+        return None
+
+
+def calc_cliques_recycled(tree: BayesTree):
+    """calcCliquesRecycled analogue: (total, reused)."""
+    return tree.num_cliques, tree.num_recycled
+
+
+# --------------------------- tree construction ------------------------------
+
+def build_tree_from_ordering(
+    fg: FactorGraph, order=None, old_tree: Optional[BayesTree] = None
+) -> BayesTree:
+    """Symbolic elimination -> Bayes tree (buildTreeFromOrdering! analogue).
+
+    Standard construction: eliminating v creates a conditional
+    p(v | S_v) with S_v = v's remaining neighbors after fill-in; v joins its
+    parent clique when S_v matches the parent's frontal+separator scope,
+    otherwise starts a new clique with separator S_v."""
+    import time as _time
+
+    t0 = _time.time()
+    order = order or get_elimination_order(fg)
+    pos = {v: i for i, v in enumerate(order)}
+
+    # rebuild adjacency with fill-in to get each variable's separator
+    adj: dict[str, set] = {v: set() for v in order}
+    fct_of_var: dict[str, list] = {v: [] for v in order}
+    for flabel in fg._fct_order:
+        f = fg.factors[flabel]
+        if f.solvable <= 0:
+            continue
+        vs = [v for v in f.variables if v in pos]
+        for v in vs:
+            adj[v].update(u for u in vs if u != v)
+            fct_of_var[v].append(flabel)
+
+    seps: dict[str, list] = {}
+    work = {v: set(n) for v, n in adj.items()}
+    for v in order:
+        nbrs = {u for u in work[v] if pos[u] > pos[v]}
+        seps[v] = sorted(nbrs, key=lambda u: pos[u])
+        for a in nbrs:
+            work[a].update(b for b in nbrs if b != a)
+            work[a].discard(v)
+
+    # group conditionals into cliques (maximal-clique supernodes)
+    cliques: list[Clique] = []
+    clique_of: dict[str, int] = {}
+    for v in reversed(order):  # root side first
+        S = seps[v]
+        if not S:
+            c = Clique(index=len(cliques), frontals=[v], separator=[])
+            cliques.append(c)
+            clique_of[v] = c.index
+            continue
+        # parent candidate: clique of the first (earliest-eliminated-after-v)
+        # separator variable
+        first = min(S, key=lambda u: pos[u])
+        pidx = clique_of[first]
+        parent = cliques[pidx]
+        if set(S) == set(parent.frontals) | set(parent.separator) or (
+            set(S) <= set(parent.frontals) | set(parent.separator)
+            and len(parent.frontals) + len(S) <= len(parent.variables)
+            and set(S) >= set(parent.separator)
+        ):
+            # absorb: v becomes a frontal of the parent clique
+            parent.frontals.append(v)
+            clique_of[v] = pidx
+        else:
+            c = Clique(
+                index=len(cliques), frontals=[v], separator=list(S), parent=pidx
+            )
+            cliques.append(c)
+            parent.children.append(c.index)
+            clique_of[v] = c.index
+
+    # assign factors to the clique where their LAST-eliminated variable lives
+    for flabel in fg._fct_order:
+        f = fg.factors[flabel]
+        if f.solvable <= 0:
+            continue
+        vs = [v for v in f.variables if v in pos]
+        if not vs:
+            continue
+        lead = min(vs, key=lambda u: pos[u])
+        cliques[clique_of[lead]].factors.append(flabel)
+
+    # signatures for recycling
+    for c in cliques:
+        c.signature = (
+            tuple(sorted(c.frontals)),
+            tuple(sorted(c.separator)),
+            tuple(sorted(c.factors)),
+        )
+
+    # levels (root-first BFS over all roots)
+    levels: list[list[int]] = []
+    frontier = [c.index for c in cliques if c.parent is None]
+    seen = set()
+    while frontier:
+        levels.append(frontier)
+        seen.update(frontier)
+        frontier = [
+            k for i in frontier for k in cliques[i].children if k not in seen
+        ]
+
+    tree = BayesTree(
+        cliques=cliques, order=order, levels=levels,
+        build_time=_time.time() - t0,
+    )
+    if old_tree is not None:
+        old_sigs = {c.signature for c in old_tree.cliques}
+        tree.num_recycled = sum(1 for c in cliques if c.signature in old_sigs)
+    return tree
+
+
+# ------------------------------ tree solve ----------------------------------
+
+def solve_tree(
+    fg: FactorGraph,
+    old_tree: Optional[BayesTree] = None,
+    solve_key: str = "default",
+    N: Optional[int] = None,
+    key=None,
+    init: bool = True,
+    downsolve: Optional[bool] = None,
+) -> BayesTree:
+    """solveTree!(fg[, oldtree]) analogue: build (recycling against the old
+    tree), then clique-scheduled nonparametric belief propagation —
+    upsolve leaves->root, then downsolve root->leaves (SolverParams.downsolve)
+    — and surface means as point estimates."""
+    from rome_tpu.solvers.multimodal.kde import manifold_mean
+    from rome_tpu.solvers.multimodal.solve import init_all_beliefs, predict_belief
+
+    N = N or fg.params.N
+    key = key if key is not None else jax.random.PRNGKey(1331)
+    downsolve = fg.params.downsolve if downsolve is None else downsolve
+    tree = build_tree_from_ordering(fg, old_tree=old_tree)
+
+    if init:
+        init_all_beliefs(fg, solve_key, N=N, key=jax.random.fold_in(key, 0))
+
+    def update_clique(cidx: int, kk):
+        c = tree.cliques[cidx]
+        # factors allowed: any factor touching clique variables whose scope is
+        # inside the clique's subtree "view" — in-place shared beliefs carry
+        # separator messages implicitly
+        for j, v in enumerate(c.frontals):
+            rec = fg.variables[v]
+            if rec.solvable <= 0 or rec.marginalized:
+                continue
+            pts = predict_belief(
+                fg, v, solve_key=solve_key, key=jax.random.fold_in(kk, j), N=N
+            )
+            if pts is not None:
+                rec.beliefs[solve_key] = pts
+
+    # upsolve: deepest level first
+    for li, level in enumerate(reversed(tree.levels)):
+        for cidx in level:  # same-level cliques are independent
+            update_clique(cidx, jax.random.fold_in(key, 10000 + li * 100 + cidx))
+    # downsolve: root outward (downsolve/limitfixeddown semantics)
+    if downsolve:
+        for li, level in enumerate(tree.levels):
+            for cidx in level:
+                update_clique(cidx, jax.random.fold_in(key, 50000 + li * 100 + cidx))
+
+    for label, rec in fg.variables.items():
+        if solve_key in rec.beliefs:
+            mu = manifold_mean(rec.manifold, rec.beliefs[solve_key])
+            rec.points[solve_key] = np.asarray(mu, dtype=np.float64)
+            rec.initialized[solve_key] = True
+    return tree
+
+
+# reference-style aliases
+getEliminationOrder = get_elimination_order
+buildTreeFromOrdering = build_tree_from_ordering
+solveTree = solve_tree
+calcCliquesRecycled = calc_cliques_recycled
