@@ -53,6 +53,21 @@ from rome_tpu.factors.dyn2d import (
     VelPoint2VelPoint2,
     VelPose2VelPose2,
 )
+from rome_tpu.factors.ode import InertialDynamic, imu_kinematic
+from rome_tpu.factors.fluxmix import (
+    FluxModelsPose2Pose2,
+    MixtureFluxPose2Pose2,
+    NNOdoPredictor,
+    build_pose2_odo_nn_01,
+    build_pose2_odo_nn_01_from_weights,
+    calc_velocity_inter_pose2,
+    pose2_odo_nn_forward,
+)
+from rome_tpu.factors.legacy_inertial import (
+    InertialPose3,
+    InertialPose3V,
+    PriorInertialPose3,
+)
 from rome_tpu.factors.sensors import (
     LinearRangeBearingElevation,
     MultipleFeatures2D,
@@ -116,6 +131,18 @@ __all__ = [
     "VelPose2VelPose2",
     "IMUDeltaFactor",
     "preintegrate_imu",
+    "InertialDynamic",
+    "imu_kinematic",
+    "MixtureFluxPose2Pose2",
+    "FluxModelsPose2Pose2",
+    "NNOdoPredictor",
+    "build_pose2_odo_nn_01",
+    "build_pose2_odo_nn_01_from_weights",
+    "calc_velocity_inter_pose2",
+    "pose2_odo_nn_forward",
+    "InertialPose3",
+    "InertialPose3V",
+    "PriorInertialPose3",
     "PriorRotVelPos",
     "PriorVelPos3",
     "PriorIMUBias",
