@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 import numpy as np
@@ -104,6 +105,105 @@ def extract_delta_odo(XX, YY, TH):
         wTbk1 = _se2_mat([XX[i], YY[i], TH[i]])
         DX[:, i] = _se2_vee(np.linalg.inv(wTbk) @ wTbk1)
     return DX
+
+
+def _pair_factor(fg: FactorGraph, a: str, b: str):
+    """First binary factor joining variables a and b, or None."""
+    for flbl in fg._adj.get(a, ()):
+        f = fg.factors[flbl]
+        if len(f.variables) == 2 and b in f.variables:
+            return f
+    return None
+
+
+def accumulate_factor_chain(fg: FactorGraph, from_: str, to_: str):
+    """accumulateFactorChain analogue (OdometryUtils.jl:~135): compose the
+    odometry measurement means along the consecutive pose chain
+    ``from_ -> ... -> to_`` into one relative SE(2) transform; also return
+    the same chord according to the current SLAM solution."""
+    i0 = int(re.sub(r"\D", "", from_))
+    i1 = int(re.sub(r"\D", "", to_))
+    prefix = re.sub(r"\d+$", "", from_)
+    acc = np.zeros(3)
+    for k in range(i0, i1):
+        f = _pair_factor(fg, f"{prefix}{k}", f"{prefix}{k + 1}")
+        if f is None:
+            raise KeyError(f"no odometry factor {prefix}{k}->{prefix}{k + 1}")
+        acc = _se2_vee(_se2_mat(acc) @ _se2_mat(np.asarray(f.params["z"])))
+    soln = None
+    if fg.is_initialized(from_) and fg.is_initialized(to_):
+        xa, xb = fg.get_coords(from_), fg.get_coords(to_)
+        soln = _se2_vee(np.linalg.inv(_se2_mat(xa)) @ _se2_mat(xb))
+    return acc, soln
+
+
+def assemble_chords_dict(fg: FactorGraph, vsyms=None, maxadi: int = 10):
+    """assembleChordsDict analogue (OdometryUtils.jl:169-194).
+
+    For every pose x_i and every x_j up to ``maxadi`` ahead, the relative
+    SE(2) chord (a) composed from odometry measurements only and (b) from the
+    SLAM solution. The reference spawns a Julia task per chord
+    (Threads.@spawn); here all chords come out of ONE batched prefix-compose
+    (lax.scan) + vmapped ``local`` — the TPU-native shape of the same
+    computation. Returns {from: {to: (meas_rel, soln_rel)}} with (3,) arrays
+    (the reference returns 3x100 particle matrices; sample around the means
+    with the accumulated covariance if particle form is needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rome_tpu.manifolds.base import SE2_
+
+    if vsyms is None:
+        vsyms = fg.ls(r"^x\d+$")
+    vsyms = sorted(vsyms, key=lambda s: int(re.sub(r"\D", "", s)))
+    n = len(vsyms)
+    if n < 2:
+        return {}
+
+    dxs = []
+    for a, b in zip(vsyms[:-1], vsyms[1:]):
+        f = _pair_factor(fg, a, b)
+        if f is None:
+            raise KeyError(f"no odometry factor {a}->{b}")
+        dxs.append(np.asarray(f.params["z"]))
+    dxs = jnp.asarray(np.stack(dxs), jnp.float32)
+
+    def comp(carry, dx):
+        nxt = SE2_.compose(carry, dx)
+        return nxt, nxt
+
+    _, cum = jax.lax.scan(comp, jnp.zeros(3, jnp.float32), dxs)
+    cum_meas = jnp.concatenate([jnp.zeros((1, 3), jnp.float32), cum], axis=0)
+
+    have_soln = all(fg.is_initialized(v) for v in vsyms)
+    cum_soln = (
+        jnp.asarray(np.stack([fg.get_coords(v) for v in vsyms]), jnp.float32)
+        if have_soln
+        else None
+    )
+
+    ii, jj = [], []
+    for i in range(n - 1):
+        for adi in range(1, min(maxadi, n - 1 - i) + 1):
+            ii.append(i)
+            jj.append(i + adi)
+    ii = jnp.asarray(ii)
+    jj = jnp.asarray(jj)
+    rel_meas = jax.vmap(SE2_.local)(cum_meas[ii], cum_meas[jj])
+    rel_soln = (
+        jax.vmap(SE2_.local)(cum_soln[ii], cum_soln[jj])
+        if cum_soln is not None
+        else None
+    )
+
+    chords: dict = {}
+    for k in range(ii.shape[0]):
+        a, b = vsyms[int(ii[k])], vsyms[int(jj[k])]
+        chords.setdefault(a, {})[b] = (
+            np.asarray(rel_meas[k]),
+            None if rel_soln is None else np.asarray(rel_soln[k]),
+        )
+    return chords
 
 
 def add_odo_fg(

@@ -4,6 +4,7 @@
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Optional
 
@@ -110,6 +111,76 @@ def get_2d_pose_means(fg: FactorGraph, regex: str = r"^x\d+$", solve_key="parame
         if solve_key in fg.variables[l].points:
             out[l] = fg.get_coords(l, solve_key)
     return out
+
+
+def _max_belief_coords(fg: FactorGraph, label: str, solve_key: str):
+    """Max-density particle for belief solveKeys, point estimate otherwise."""
+    rec = fg.variables[label]
+    if solve_key in rec.beliefs:
+        from rome_tpu.solvers.multimodal.kde import ManifoldKernelDensity
+
+        mkd = ManifoldKernelDensity.from_points(
+            rec.manifold, np.asarray(rec.beliefs[solve_key])
+        )
+        return np.asarray(rec.manifold.log(mkd.max_point()))
+    if solve_key in rec.points:
+        return fg.get_coords(label, solve_key)
+    return None
+
+
+def get_2d_pose_max(
+    fg: FactorGraph, regex: str = r"^x\d+$", solve_key: str = "parametric"
+):
+    """get2DPoseMax analogue (RobotUtils.jl:291-313): per-pose max-belief
+    (x, y, theta) arrays plus labels."""
+    labels, xs, ys, ths = [], [], [], []
+    for l in fg.ls(regex):
+        c = _max_belief_coords(fg, l, solve_key)
+        if c is None or len(c) < 3:
+            continue
+        labels.append(l)
+        xs.append(float(c[0]))
+        ys.append(float(c[1]))
+        ths.append(float(c[2]))
+    return labels, np.asarray(xs), np.asarray(ys), np.asarray(ths)
+
+
+def get_2d_landm_max(
+    fg: FactorGraph, regex: str = r"^l\d+$", solve_key: str = "parametric"
+):
+    """get2DLandmMax analogue (RobotUtils.jl:~315): max-belief landmark xy."""
+    labels, xs, ys = [], [], []
+    for l in fg.ls(regex):
+        c = _max_belief_coords(fg, l, solve_key)
+        if c is None or len(c) < 2:
+            continue
+        labels.append(l)
+        xs.append(float(c[0]))
+        ys.append(float(c[1]))
+    return labels, np.asarray(xs), np.asarray(ys)
+
+
+def add_linear_array_constraint(
+    fg: FactorGraph,
+    rangebearing,
+    pose: str,
+    landm: str,
+    rangecov: float = 3e-4,
+    bearingcov: float = 3e-4,
+):
+    """addLinearArrayConstraint analogue (RobotUtils.jl:383-401): add a
+    DIDSON-style LinearRangeBearingElevation sonar factor between a pose and
+    a landmark (creating the Point3 landmark if needed)."""
+    from rome_tpu.factors.sensors import LinearRangeBearingElevation
+    from rome_tpu.variables import Point3
+
+    if not fg.exists(landm):
+        fg.add_variable(landm, Point3)
+    rho, theta = float(rangebearing[0]), float(rangebearing[1])
+    fct = LinearRangeBearingElevation(
+        (rho, math.sqrt(rangecov)), (theta, math.sqrt(bearingcov))
+    )
+    return fg.add_factor([pose, landm], fct)
 
 
 def fifo_freeze(fg: FactorGraph, qfl: Optional[int] = None):

@@ -156,3 +156,73 @@ def test_fifo_freeze_param():
         add_odo_fg(fg, Pose2Pose2(MvNormal([1, 0, 0], [0.01, 0.01, 0.01])))
     frozen = fifo_freeze(fg)
     assert len(frozen) == 4
+
+
+def test_accumulate_factor_chain_and_chords():
+    """assembleChordsDict analogue (OdometryUtils.jl:169-194): chords equal
+    the composed odometry means; solution chords come from solve values."""
+    from rome_tpu.frontend.odometry import (
+        accumulate_factor_chain,
+        assemble_chords_dict,
+    )
+
+    fg = FactorGraph()
+    fg.params.graphinit = False
+    fg.add_variable("x0", Pose2)
+    fg.add_factor(["x0"], PriorPose2(MvNormal([0, 0, 0], [0.01] * 3)))
+    dx = np.array([1.0, 0.0, np.pi / 6])
+    cov = np.diag([1e-3, 1e-3, 1e-4])
+    for i in range(1, 5):
+        fg.add_variable(f"x{i}", Pose2)
+        fg.add_factor([f"x{i-1}", f"x{i}"], Pose2Pose2(MvNormal(dx, cov)))
+        fg.init_variable(f"x{i}", np.asarray(
+            SE2_.compose(fg.get_coords(f"x{i-1}") if i > 1 else np.zeros(3), dx)))
+    fg.init_variable("x0", np.zeros(3))
+
+    acc, soln = accumulate_factor_chain(fg, "x0", "x3")
+    want = np.zeros(3)
+    for _ in range(3):
+        want = np.asarray(SE2_.compose(want, dx))
+    np.testing.assert_allclose(acc, want, atol=1e-6)
+    np.testing.assert_allclose(soln, want, atol=1e-5)
+
+    chords = assemble_chords_dict(fg, maxadi=2)
+    assert set(chords["x0"].keys()) == {"x1", "x2"}
+    np.testing.assert_allclose(chords["x1"]["x3"][0], want[:3] * 0 + np.asarray(
+        SE2_.compose(np.asarray(SE2_.compose(np.zeros(3), dx)), dx)), atol=1e-5)
+    m, s = chords["x0"]["x2"]
+    np.testing.assert_allclose(m, s, atol=1e-4)
+
+
+def test_get_2d_pose_max_and_linear_array():
+    """get2DPoseMax / addLinearArrayConstraint analogues
+    (RobotUtils.jl:291-313, 383-401)."""
+    from rome_tpu.frontend.robot_utils import (
+        add_linear_array_constraint,
+        get_2d_landm_max,
+        get_2d_pose_max,
+    )
+
+    from rome_tpu import Pose3
+
+    fg = FactorGraph()
+    fg.params.graphinit = False
+    for i in range(3):
+        fg.add_variable(f"x{i}", Pose2)
+        fg.init_variable(f"x{i}", np.array([float(i), 0.5, 0.1]))
+    labels, xs, ys, ths = get_2d_pose_max(fg)
+    assert labels == ["x0", "x1", "x2"]
+    np.testing.assert_allclose(xs, [0.0, 1.0, 2.0], atol=1e-6)
+    np.testing.assert_allclose(ths, [0.1] * 3, atol=1e-6)
+
+    # DIDSON factor is Pose3 -> Point3 (SensorModels.jl:22-95)
+    fg.add_variable("p0", Pose3)
+    fg.init_variable("p0", np.zeros(6))
+    add_linear_array_constraint(fg, (3.0, 0.2), "p0", "l1")
+    assert fg.exists("l1")
+    f = [fg.factors[l] for l in fg._adj["l1"]][0]
+    assert f.ftype.name == "LinearRangeBearingElevation"
+
+    fg.init_variable("l1", np.array([4.0, 0.5, 0.0]))
+    ll, lx, ly = get_2d_landm_max(fg)
+    assert ll == ["l1"] and abs(lx[0] - 4.0) < 1e-6
