@@ -77,6 +77,7 @@ def test_tree_recycling_counts():
     assert recycled < total
 
 
+@pytest.mark.slow
 def test_solve_tree_chain_accuracy():
     fg = _chain(4)
     tree = solve_tree(fg, N=80)
@@ -88,6 +89,7 @@ def test_solve_tree_chain_accuracy():
         assert abs(med - i) < 0.6, (i, med)
 
 
+@pytest.mark.slow
 def test_solve_tree_recycle_resolve():
     """solveTree!(fg, tree) re-solve with recycling (testBeehiveGrow.jl
     pattern)."""

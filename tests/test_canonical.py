@@ -1,6 +1,7 @@
 """Canonical generator + end-to-end fixture tests (reference:
 testHexagonal2D_CliqByCliq.jl geometry, GenerateCommon.jl PPE plumbing)."""
 
+import pytest
 import numpy as np
 
 from rome_tpu import solve_graph_parametric
@@ -48,6 +49,7 @@ def test_hexagonal_simulated_ppe():
     assert abs(sym_rem(p6[2] - p0[2])) < 1e-4
 
 
+@pytest.mark.slow
 def test_hexagonal_parametric_solve():
     """Parametric solve recovers the simulated hexagon to tight tolerance
     (analogue of the reference's solves; parametric so 1e-3-class accuracy

@@ -34,6 +34,7 @@ from rome_tpu.manifolds import quat as Q
 
 # ----------------------------- InertialDynamic ------------------------------
 
+@pytest.mark.slow
 def test_inertial_dynamic_matches_imudelta():
     """testInertialDynamic.jl duplicates the IMUDeltaFactor fixture
     (testIMUDeltaFactor.jl:168-212): both formulations must land x1 at the

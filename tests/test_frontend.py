@@ -1,6 +1,7 @@
 """Front-end runtime tests: odometry accumulation / dead-reckon tether
 (testDeadReckoningTether.jl analogue) and the async solve manager."""
 
+import pytest
 import time
 
 import numpy as np
@@ -99,6 +100,7 @@ def test_add_odo_fg_and_last_poses():
     assert len(last) == 2
 
 
+@pytest.mark.slow
 def test_fixed_lag_freeze_and_means():
     fg, _ = init_factor_graph()
     for i in range(9):

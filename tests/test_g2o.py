@@ -43,6 +43,7 @@ def test_import_g2o_octagon(tmp_path):
     np.testing.assert_allclose(cov, np.linalg.inv(info), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_octagon_parametric_solve(tmp_path):
     """Solve the ring; loop closure closes and every leg is consistent
     (TestPoseAndPoint2Constraints-style parametric accuracy)."""

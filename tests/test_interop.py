@@ -16,6 +16,7 @@ def server():
     srv.shutdown()
 
 
+@pytest.mark.slow
 def test_simple_example_session(server):
     """The exact command sequence of SimpleExample.jl."""
     port = server.server_address[1]

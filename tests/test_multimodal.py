@@ -61,6 +61,7 @@ def test_gibbs_product_gaussian_fusion():
     assert float(jnp.std(prod[:, 0])) < 0.5
 
 
+@pytest.mark.slow
 def test_approx_conv_odometry_projection():
     """Odometry projection mean on SE(2)
     (TestPoseAndPoint2Constraints.jl:36-42)."""
@@ -113,6 +114,7 @@ def test_bearing_range_landmark_init():
     np.testing.assert_allclose(pts.mean(0), expect, atol=0.5)
 
 
+@pytest.mark.slow
 def test_hexagonal_nonparametric_bands():
     """Full multimodal solve of the hexagonal fixture; band check per pose
     (testHexagonal2D_CliqByCliq.jl:38-79: >=35/100 particles within +-3 m,
@@ -134,6 +136,7 @@ def test_hexagonal_nonparametric_bands():
     assert np.sum(np.linalg.norm(lm - np.array([20.0, 0]), axis=1) < 3.0) >= 35
 
 
+@pytest.mark.slow
 def test_nullhypo_keeps_prior_mass():
     """nullhypo=0.5: about half the particles ignore the factor
     (testPose3Pose3NH.jl:118 outlier-robustness semantics)."""

@@ -36,6 +36,7 @@ def _square_graph():
     return fg
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("linear", ["dense", "pcg"])
 def test_parametric_square(linear):
     fg = _square_graph()

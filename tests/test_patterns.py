@@ -2,6 +2,7 @@
 testBeehive2D_CliqByCliq.jl / testBeehiveGrow.jl structure checks).
 """
 
+import pytest
 import numpy as np
 
 from rome_tpu import FactorGraph, GNOptions, solve_graph_parametric
@@ -80,6 +81,7 @@ def test_helix2d_spiral_runs():
     assert len(fg.ls(r"^x\d+$")) == 60
 
 
+@pytest.mark.slow
 def test_honeycomb_structure_and_solve():
     """Honeycomb: landmark merge produces loop closures (more sightings than
     landmarks); parametric solve tracks the simulated truth."""

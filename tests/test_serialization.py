@@ -117,6 +117,7 @@ def test_save_load_roundtrip(tmp_path, suffix):
         assert len(a.dists) == len(b.dists)
 
 
+@pytest.mark.slow
 def test_roundtrip_solves_identically(tmp_path):
     """Reference crash-resume contract: a reloaded graph solves to the same
     solution (saveDFG before/after every solve,

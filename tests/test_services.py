@@ -53,6 +53,7 @@ def test_build_graph_scalar_field():
     )
 
 
+@pytest.mark.slow
 def test_levelset_localization():
     """testScalarFields.jl:44-56 — a level-set prior concentrates belief near
     the measured elevation contour."""

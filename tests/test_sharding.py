@@ -42,6 +42,7 @@ def test_pad_batches():
         np.testing.assert_array_equal(np.asarray(b2.weight[b.n:]), 0.0)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ndev", [1, 2, 8])
 def test_sharded_step_matches_single(ndev):
     """One distributed GN step across N devices equals the single-device
@@ -62,6 +63,7 @@ def test_sharded_step_matches_single(ndev):
         np.testing.assert_allclose(np.asarray(v1[t]), np.asarray(v2[t]), atol=5e-3)
 
 
+@pytest.mark.slow
 def test_solve_distributed_converges():
     ga = _fixture()
     mesh = Mesh(np.array(jax.devices()[:8]), ("f",))

@@ -41,6 +41,7 @@ def test_p2c_pts_kde_spread():
     assert pts[:, 0].std() > pts[:, 1].std()
 
 
+@pytest.mark.slow
 def test_tracker_propagate_and_update():
     tr = FeatureTracker.init_from(np.array([[10.0], [0.0]]))  # one feature ahead
     assert len(tr.trackers) == 1
@@ -95,6 +96,7 @@ def test_ute_odometry_and_pose_trigger():
     assert sys.dOdo[2][4] == 1.0  # distance rule fired
 
 
+@pytest.mark.slow
 def test_adv_odo_by_rules_smoke():
     """Victoria-Park-style driver: DRS stream + laser features."""
     rng = np.random.default_rng(0)
