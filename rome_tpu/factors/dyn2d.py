@@ -230,8 +230,8 @@ DYNPOSE2_POSE2 = register_factor_type(
         zdim=3,
         residual=_dpose2pose2_res,
         initializers={
-            1: lambda params, pts: np.asarray(
-                SE2_.compose(pts[0][..., :3], SE2_.exp(params["z"]))
+            1: lambda params, pts: SE2_.compose(
+                jnp.asarray(pts[0])[..., :3], SE2_.exp(params["z"])
             )
         },
         coord_types=("e", "e", "c"),
@@ -265,13 +265,14 @@ def _dpose2dpose2_res(params, xi, xj):
 
 
 def _dpose2dpose2_init1(params, pts):
-    xi = np.asarray(pts[0])
-    z = np.asarray(params["z"])
-    dt = float(params["dt"])
+    # pure-jnp so FactorGraph's jitted-initializer cache can trace it
+    xi = jnp.asarray(pts[0])
+    z = jnp.asarray(params["z"])
+    dt = params["dt"]
     wpj = xi[:2] + dt * xi[3:5] + z[:2]
     th = xi[2] + z[2]
-    th = np.arctan2(np.sin(th), np.cos(th))
-    return np.concatenate([wpj, [th], xi[3:5] + z[3:5]])
+    th = jnp.arctan2(jnp.sin(th), jnp.cos(th))
+    return jnp.concatenate([wpj, th[None], xi[3:5] + z[3:5]])
 
 
 DYNPOSE2_DYNPOSE2 = register_factor_type(
@@ -322,13 +323,13 @@ def _vpose2vpose2_res(params, p, q):
 
 
 def _vpose2vpose2_init1(params, pts):
-    p = np.asarray(pts[0])
-    z = np.asarray(params["z"])
-    pose = np.asarray(SE2_.compose(jnp.asarray(p[:3]), SE2_.exp(jnp.asarray(z[:3]))))
-    c, s = np.cos(p[2]), np.sin(p[2])
-    R = np.array([[c, -s], [s, c]])
-    vel = p[3:5] + R @ z[3:5]
-    return np.concatenate([pose, vel])
+    # pure-jnp so FactorGraph's jitted-initializer cache can trace it
+    p = jnp.asarray(pts[0])
+    z = jnp.asarray(params["z"])
+    pose = SE2_.compose(p[:3], SE2_.exp(z[:3]))
+    c, s = jnp.cos(p[2]), jnp.sin(p[2])
+    vel = p[3:5] + jnp.stack([c * z[3] - s * z[4], s * z[3] + c * z[4]])
+    return jnp.concatenate([pose, vel])
 
 
 VELPOSE2_VELPOSE2 = register_factor_type(

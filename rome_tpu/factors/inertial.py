@@ -164,10 +164,10 @@ def _imu_p3vp_res(params, pose_i, vp_i, pose_j, vp_j):
 
 def _imu_initializer(params, pts):
     """Init slot 1 by gravity-compensated forward propagation of slot 0."""
-    # host init path hands float64 numpy; cast to f32 so eager jnp ops don't
-    # warn about unavailable x64
-    xi = jnp.asarray(np.asarray(pts[0], dtype=np.float32))
-    params = {k: jnp.asarray(np.asarray(v, dtype=np.float32)) for k, v in params.items()}
+    # host init path hands float64 numpy; cast to f32 (also keeps the body
+    # traceable under the FactorGraph jitted-initializer cache)
+    xi = jnp.asarray(pts[0], jnp.float32)
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
     p = _rvp_to_sgal(xi, jnp.zeros((), dtype=xi.dtype))
     # q from boxminus inverse: given delta, solve q s.t. boxminus(p, q) = delta
     d = params["delta"]

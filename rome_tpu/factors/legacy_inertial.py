@@ -183,7 +183,7 @@ PRIOR_INERTIAL_POSE3 = register_factor_type(
         variable_types=(InertialPose3V,),
         zdim=15,
         residual=_prior_ip3_res,
-        initializers={0: lambda params, pts: np.asarray(params["z"], np.float64)},
+        initializers={0: lambda params, pts: params["z"]},
         coord_types=("e",) * 3 + ("c",) * 3 + ("e",) * 9,
         doc="Prior on the legacy 15-dof inertial state "
         "(InertialPose3.jl:291-313).",

@@ -87,14 +87,14 @@ def _inertial_dynamic_res(params, xi, xj):
 
 
 def _inertial_dynamic_init1(params, pts):
-    xi = jnp.asarray(np.asarray(pts[0], dtype=np.float32))
-    p = {k: jnp.asarray(np.asarray(v, dtype=np.float32)) for k, v in params.items()}
+    xi = jnp.asarray(pts[0], jnp.float32)
+    p = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
     return _integrate_rvp(p, xi, direction=1.0)
 
 
 def _inertial_dynamic_init0(params, pts):
-    xj = jnp.asarray(np.asarray(pts[1], dtype=np.float32))
-    p = {k: jnp.asarray(np.asarray(v, dtype=np.float32)) for k, v in params.items()}
+    xj = jnp.asarray(pts[1], jnp.float32)
+    p = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
     return _integrate_rvp(p, xj, direction=-1.0)
 
 
