@@ -33,9 +33,11 @@ def main(path=DEFAULT, max_instructions="300", stride="10"):
         parse_g2o_instruction(fg, ins, initialize=True)
         if (i + 1) % stride == 0:
             t0 = time.time()
-            # warm start: re-solve from current estimates (recycling analogue)
+            # warm start from current estimates + bucketed shapes: the
+            # compiled LM program is reused within a shape bucket (the TPU
+            # analogue of solveTree! tree recycling)
             res = solve_graph_parametric(fg, init=False, options=opts,
-                                         chordal_init=False)
+                                         chordal_init=False, pad=True)
             dt = time.time() - t0
             st = res["stats"]
             print(f"step {i + 1}: {fg.num_variables} vars, solve {dt:.3f}s, "

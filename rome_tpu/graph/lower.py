@@ -27,6 +27,9 @@ class FactorBatch:
     params: dict             # str -> (n, ...) arrays
     weight: np.ndarray       # (n,) float — 0/1 solvable mask
     labels: list = field(default_factory=list)
+    # nonparametric-path metadata (addFactor! kwargs, SURVEY.md §5):
+    nullhypo: np.ndarray = None    # (n,) float eta per factor
+    inflation: np.ndarray = None   # (n,) float init-noise scale per factor
 
 
 @dataclass
@@ -39,6 +42,9 @@ class GraphArrays:
     batches: list                    # list[FactorBatch]
     var_labels: dict                 # type name -> list of labels by slot
     dtype: object = jnp.float32
+    # factor labels NOT lowered into batches (multihypo-extended factors);
+    # the nonparametric driver routes these through per-factor approx_conv
+    excluded_factors: list = field(default_factory=list)
 
     @property
     def total_dof(self):
@@ -60,7 +66,34 @@ class GraphArrays:
         return self
 
 
-def lower(fg: FactorGraph, solve_key: str = "parametric", dtype=jnp.float32) -> GraphArrays:
+def bucket_size(n: int) -> int:
+    """Shape bucket: round up to ~12.5% granularity (multiples of
+    2^(bit_length-3), min 8). Growing graphs re-use one compiled solver
+    within a bucket — the no-recompile contract of the incremental path
+    (reference analogue: solveTree! tree recycling,
+    ManhattanDatasetIncremental.jl:97-115)."""
+    if n <= 8:
+        return 8
+    g = max(8, 1 << (int(n).bit_length() - 3))
+    return ((n + g - 1) // g) * g
+
+
+def _pad_rows(a: np.ndarray, n: int) -> np.ndarray:
+    """Pad axis 0 to n rows by replicating the last row (always a VALID
+    row: valid manifold point / params that evaluate finitely — padding is
+    masked by weight/free zeros downstream, and 0*nan would poison sums)."""
+    if a.shape[0] >= n:
+        return a
+    reps = np.repeat(a[-1:], n - a.shape[0], axis=0)
+    return np.concatenate([a, reps], axis=0)
+
+
+def lower(
+    fg: FactorGraph,
+    solve_key: str = "parametric",
+    dtype=jnp.float32,
+    pad: bool = False,
+) -> GraphArrays:
     """Build dense solver arrays from the graph.
 
     Semantics mirror the reference fixed-lag behavior
@@ -98,6 +131,7 @@ def lower(fg: FactorGraph, solve_key: str = "parametric", dtype=jnp.float32) -> 
 
     # factor batches grouped by type
     groups: dict[str, list] = {}
+    excluded = []
     for flabel in fg._fct_order:
         f = fg.factors[flabel]
         if f.solvable <= 0:
@@ -105,7 +139,9 @@ def lower(fg: FactorGraph, solve_key: str = "parametric", dtype=jnp.float32) -> 
         if len(f.variables) != f.ftype.arity:
             # multihypo-extended factor: data association is a sampling
             # concept; the parametric path skips it (as the reference's
-            # parametric solver does)
+            # parametric solver does) and the nonparametric path handles it
+            # per-factor (approx_conv)
+            excluded.append(flabel)
             continue
         recs = [fg.variables[v] for v in f.variables]
         if all(r.solvable <= 0 or r.marginalized for r in recs):
@@ -123,6 +159,7 @@ def lower(fg: FactorGraph, solve_key: str = "parametric", dtype=jnp.float32) -> 
         params = {
             key: np.stack([f.params[key] for f in fs]) for key in fs[0].params
         }
+        default_infl = fg.params.inflation
         batches.append(
             FactorBatch(
                 ftype=ftype,
@@ -132,8 +169,38 @@ def lower(fg: FactorGraph, solve_key: str = "parametric", dtype=jnp.float32) -> 
                 params=params,
                 weight=np.ones(n),
                 labels=[f.label for f in fs],
+                nullhypo=np.array([float(f.nullhypo or 0.0) for f in fs]),
+                inflation=np.array(
+                    [
+                        float(f.inflation if f.inflation is not None else default_infl)
+                        for f in fs
+                    ]
+                ),
             )
         )
+
+    if pad:
+        for t in type_names:
+            n = bucket_size(counts[t])
+            if n > counts[t]:
+                values0[t] = _pad_rows(values0[t], n)
+                free[t] = np.concatenate(
+                    [free[t], np.zeros(n - counts[t])]
+                )
+                var_labels[t] = var_labels[t] + [
+                    f"__pad_{t}_{i}" for i in range(n - counts[t])
+                ]
+                counts[t] = n
+        for b in batches:
+            n = bucket_size(b.n)
+            if n > b.n:
+                b.vslots = _pad_rows(b.vslots, n)
+                b.params = {k: _pad_rows(v, n) for k, v in b.params.items()}
+                b.weight = np.concatenate([b.weight, np.zeros(n - b.n)])
+                b.nullhypo = _pad_rows(b.nullhypo, n)
+                b.inflation = _pad_rows(b.inflation, n)
+                b.labels = b.labels + [None] * (n - b.n)
+                b.n = n
 
     ga = GraphArrays(
         type_names=type_names,
@@ -144,6 +211,7 @@ def lower(fg: FactorGraph, solve_key: str = "parametric", dtype=jnp.float32) -> 
         batches=batches,
         var_labels=var_labels,
         dtype=dtype,
+        excluded_factors=excluded,
     )
     return ga.to_device()
 

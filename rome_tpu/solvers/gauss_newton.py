@@ -27,6 +27,8 @@ from rome_tpu.solvers.linearize import (
     gradient_from_lins,
     hvp_from_lins,
     linearize_all,
+    runtime_state,
+    structure_signature,
     unflatten_tangent,
 )
 
@@ -93,11 +95,21 @@ class GNOptions:
     dense_threshold: int = 3000   # total dof below which dense Cholesky wins
     pcg_iters: int = 250
     pcg_tol: float = 1e-8
+    ir_rounds: int = 2            # f64 iterative-refinement rounds (dense)
     verbose: bool = False
 
 
+_SOLVER_CACHE: dict = {}
+
+
 class ParametricSolver:
-    """LM solver bound to one lowered graph (compiles once per structure)."""
+    """LM solver bound to one lowered graph STRUCTURE.
+
+    Everything value-like (params, index routing, free masks) is a traced
+    argument (linearize.runtime_state); only shapes are compiled in. Use
+    :meth:`cached` to share one compiled solver across graphs with the same
+    (padded) structure — the incremental path's no-recompile contract.
+    """
 
     def __init__(self, ga: GraphArrays, opts: GNOptions = None):
         self.ga = ga
@@ -106,44 +118,99 @@ class ParametricSolver:
         if linear == "auto":
             linear = "dense" if ga.total_dof <= self.opts.dense_threshold else "pcg"
         self.linear = linear
+        self._rt0 = runtime_state(ga)
         self._step = jax.jit(self._make_step())
-        self._cost = jax.jit(lambda values: cost_at(self.ga, values))
+        self._cost = jax.jit(lambda values, rt: cost_at(self.ga, values, rt))
+
+    @classmethod
+    def cached(cls, ga: GraphArrays, opts: GNOptions = None):
+        """Structure-keyed solver reuse: same signature + options -> same
+        compiled XLA programs (pass the new graph's runtime_state/values to
+        :meth:`solve`)."""
+        opts = opts or GNOptions()
+        key = (structure_signature(ga), tuple(sorted(vars(opts).items())))
+        solver = _SOLVER_CACHE.get(key)
+        if solver is None:
+            solver = cls(ga, opts)
+            _SOLVER_CACHE[key] = solver
+        return solver
 
     # -- one LM iteration as a pure function --------------------------------
     def _make_step(self):
         ga = self.ga
         opts = self.opts
+        # f64 refinement needs x64 enabled in this process (bench.py and the
+        # CPU test mesh enable it); otherwise the cast is a silent f32 no-op
+        _X64_OK = bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32
 
-        def boxplus_all(values, delta):
+        def boxplus_all(values, delta, rt):
             out = {}
             for t in ga.type_names:
                 man = ga.manifolds[t]
-                d = delta[t] * ga.free[t][:, None]
+                d = delta[t] * rt["free"][t][:, None]
                 out[t] = man.normalize(man.boxplus(values[t], d))
             return out
 
-        def solve_dense(lins, lam):
-            H, g = dense_normal_eqs(ga, lins)
-            diag = jnp.maximum(jnp.diag(H), 1e-8)
-            Hd = H + lam * jnp.diag(diag)
-            L, lower = jax.scipy.linalg.cho_factor(Hd, lower=True)
-            x = jax.scipy.linalg.cho_solve((L, lower), -g)
-            x = x * free_vector(ga)
-            return unflatten_tangent(ga, x), g
+        def solve_dense(lins, lam, rt):
+            """Damped-normal-equations solve: f64 assembly, Jacobi scaling,
+            f32 Cholesky on the MXU, f64 iterative refinement.
 
-        def solve_pcg(lins, lam):
-            gvec = gradient_from_lins(ga, lins)
+            At M3500 scale cond(H) ~ 1e8, so an H *stored* in f32 yields
+            steps that are wrong by O(eps32*cond) ~ O(1) — LM then crawls
+            (measured: cost stuck ~2.2k vs the f64 optimum 1774). Assembling
+            H/g in emulated f64 (cheap: small-block einsums + scatters) and
+            refining the f32-factorized solve against the f64 system gives
+            f64-quality steps at f32 factorization speed: each round is one
+            f64 matvec (O(n^2), ~ms) + one f32 triangular solve."""
+            use64 = opts.ir_rounds > 0 and _X64_OK
+            hdt = jnp.float64 if use64 else ga.dtype
+            H, g = dense_normal_eqs(ga, lins, dtype=hdt, rt=rt)
+            diag = jnp.maximum(jnp.diag(H), 1e-8)
+            Hd = H + lam.astype(hdt) * jnp.diag(diag)
+            # symmetric Jacobi scaling: Hs = D Hd D with D = diag(Hd)^-1/2
+            d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(Hd), 1e-12))
+            Hs = Hd * d[:, None] * d[None, :]
+            bs = -g * d
+            L, lower = jax.scipy.linalg.cho_factor(
+                Hs.astype(ga.dtype), lower=True
+            )
+            y = jax.scipy.linalg.cho_solve((L, lower), bs.astype(ga.dtype))
+            y = y.astype(hdt)
+            if use64:
+                # safeguarded refinement: the f32-factorization iteration has
+                # contraction factor ~ eps32*cond(Hs) which exceeds 1 at tiny
+                # damping — keep the iterate with the smallest f64 residual
+                # instead of trusting the last one
+                y_best, rn_best = y, jnp.asarray(jnp.inf, hdt)
+                for _ in range(opts.ir_rounds):
+                    r = bs - Hs @ y
+                    rn = jnp.linalg.norm(r)
+                    better = rn < rn_best
+                    y_best = jnp.where(better, y, y_best)
+                    rn_best = jnp.where(better, rn, rn_best)
+                    dy = jax.scipy.linalg.cho_solve(
+                        (L, lower), r.astype(ga.dtype)
+                    )
+                    y = y + dy.astype(hdt)
+                rn = jnp.linalg.norm(bs - Hs @ y)
+                y = jnp.where(rn < rn_best, y, y_best)
+            x = ((y * d) * free_vector(ga, rt).astype(hdt)).astype(ga.dtype)
+            return unflatten_tangent(ga, x), g.astype(ga.dtype)
+
+        def solve_pcg(lins, lam, rt):
+            free = rt["free"]
+            gvec = gradient_from_lins(ga, lins, rt)
             D = block_diag_from_lins(ga, lins)
 
             def hvp(v):
-                out = hvp_from_lins(ga, lins, v)
+                out = hvp_from_lins(ga, lins, v, rt)
                 # Marquardt damping on the diagonal of J^T J
                 for t in out:
                     dd = jnp.maximum(
                         jnp.diagonal(D[t], axis1=-2, axis2=-1), 1e-8
                     )
                     out[t] = out[t] + lam * dd * v[t]
-                    out[t] = out[t] * ga.free[t][:, None]
+                    out[t] = out[t] * free[t][:, None]
                 return out
 
             # block-Jacobi preconditioner: invert damped per-variable blocks
@@ -153,13 +220,13 @@ class ParametricSolver:
                 eye = jnp.eye(dof, dtype=ga.dtype)
                 dd = jnp.maximum(jnp.diagonal(D[t], axis1=-2, axis2=-1), 1e-8)
                 blk = D[t] + lam * dd[..., None] * eye + 1e-8 * eye
-                fmask = ga.free[t][:, None, None]
+                fmask = free[t][:, None, None]
                 blk = blk * fmask + eye * (1.0 - fmask)
                 Pinv[t] = jnp.linalg.inv(blk)
 
             def precond(r):
                 return {
-                    t: jnp.einsum("nij,nj->ni", Pinv[t], r[t]) * ga.free[t][:, None]
+                    t: jnp.einsum("nij,nj->ni", Pinv[t], r[t]) * free[t][:, None]
                     for t in r
                 }
 
@@ -169,20 +236,20 @@ class ParametricSolver:
 
         linear_solve = solve_dense if self.linear == "dense" else solve_pcg
 
-        def step(values, lam):
-            lins = linearize_all(ga, values)
-            cost0 = sum(0.5 * jnp.sum(r0 * r0) for _b, r0, _J in lins)
-            delta, g = linear_solve(lins, lam)
+        def step(values, lam, rt):
+            lins = linearize_all(ga, values, rt)
+            cost0 = sum(0.5 * jnp.sum(r0 * r0) for _b, r0, _J, _v in lins)
+            delta, g = linear_solve(lins, lam, rt)
             if isinstance(g, dict):
                 gvec = g
             else:
                 gvec = unflatten_tangent(ga, g)
             gnorm = jnp.sqrt(_tdot(gvec, gvec))
             dnorm = jnp.sqrt(_tdot(delta, delta))
-            trial = boxplus_all(values, delta)
-            cost1 = cost_at(ga, trial)
+            trial = boxplus_all(values, delta, rt)
+            cost1 = cost_at(ga, trial, rt)
             # gain ratio: actual vs quadratic-model predicted reduction
-            Hd = hvp_from_lins(ga, lins, delta)
+            Hd = hvp_from_lins(ga, lins, delta, rt)
             pred = -(_tdot(gvec, delta) + 0.5 * _tdot(delta, Hd))
             rho = (cost0 - cost1) / jnp.where(pred > 1e-30, pred, 1e-30)
             ok = jnp.logical_and(jnp.isfinite(cost1), cost1 < cost0)
@@ -226,7 +293,7 @@ class ParametricSolver:
         step_floor = 1e-4 if ga.dtype == jnp.float32 else 1e-9
         max_iters = int(opts.max_iters)
 
-        def loop(values, lam):
+        def loop(values, lam, rt):
             hist0 = jnp.zeros((max_iters, 6), dtype=jnp.float32)
 
             def cond(state):
@@ -236,7 +303,7 @@ class ParametricSolver:
             def body(state):
                 values, lam, it, cost_prev, n_rej, code, _g, hist = state
                 new_values, new_lam, cost0, cost1, gnorm, dnorm, ok = step(
-                    values, lam
+                    values, lam, rt
                 )
                 hist = hist.at[it].set(
                     jnp.stack(
@@ -296,20 +363,24 @@ class ParametricSolver:
             values, lam, it, _cp, n_rej, code, gnorm, hist = jax.lax.while_loop(
                 cond, body, init
             )
-            final_cost = cost_at(ga, values)
+            final_cost = cost_at(ga, values, rt)
             return values, it, code, n_rej, gnorm, final_cost, hist
 
         return loop
 
     # -- outer loop ----------------------------------------------------------
-    def solve(self, values=None):
+    def solve(self, values=None, rt=None):
+        """Run the fused LM solve. ``rt`` (linearize.runtime_state) carries
+        the graph's traced data — pass the CURRENT graph's state when this
+        solver instance came from the structure cache."""
         ga, opts = self.ga, self.opts
         values = values or ga.values0
+        rt = rt if rt is not None else self._rt0
         lam = jnp.asarray(opts.lam0, dtype=ga.dtype)
         if not hasattr(self, "_solve_loop"):
             self._solve_loop = jax.jit(self._make_solve_loop())
         values, it, code, n_rej, gnorm, final_cost, hist = self._solve_loop(
-            values, lam
+            values, lam, rt
         )
         it = int(it)
         code = int(code)

@@ -1,11 +1,18 @@
 """Batched residual / Jacobian evaluation — THE hot loop of the framework.
 
-Reference analogue: the per-particle / per-factor residual functors invoked
-inside IIF's approxConv and parametric solve (SURVEY.md §3.2-3.3). Here every
-factor type linearizes as ONE vmapped jacfwd over its dense batch: gathers
-from per-type variable arrays, small-dof forward-mode Jacobians on the VPU,
-scatter-adds (segment sums) back into per-type tangent arrays. No indirection
-survives into XLA — just gathers, batched small matmuls, and scatters.
+Reference analogue: the per-factor residual functors invoked inside IIF's
+approxConv and parametric solve (SURVEY.md §3.2-3.3). Here every factor type
+linearizes as ONE vmapped jacfwd over its dense batch: gathers from per-type
+variable arrays, small-dof forward-mode Jacobians on the VPU, scatter-adds
+(segment sums) back into per-type tangent arrays. No indirection survives
+into XLA — just gathers, batched small matmuls, and scatters.
+
+Runtime/structure split: everything *shape-defining* (type names, counts,
+batch sizes, manifolds) is static and closed over; everything *value-like*
+(params, vslots index routing, weights, free masks) is threaded through as
+traced arguments via ``runtime_state`` so one compiled solver serves every
+graph with the same (padded) structure — the no-recompile contract the
+incremental path relies on. ``lins`` entries are ``(batch, r0, Js, vslots)``.
 """
 
 from __future__ import annotations
@@ -14,6 +21,33 @@ import jax
 import jax.numpy as jnp
 
 from rome_tpu.graph.lower import FactorBatch, GraphArrays
+
+
+def runtime_state(ga: GraphArrays):
+    """The traced half of a lowered graph: a pytree the compiled solver
+    takes as an argument (params/vslots/weight/free), letting graphs that
+    share a structure signature reuse one XLA program."""
+    return {
+        "params": tuple(
+            {k: jnp.asarray(v) for k, v in b.params.items()} for b in ga.batches
+        ),
+        "vslots": tuple(jnp.asarray(b.vslots) for b in ga.batches),
+        "weight": tuple(jnp.asarray(b.weight, ga.dtype) for b in ga.batches),
+        "free": {t: jnp.asarray(ga.free[t], ga.dtype) for t in ga.type_names},
+    }
+
+
+def structure_signature(ga: GraphArrays):
+    """Hashable key of everything a compiled solver bakes in (shapes +
+    dtypes + manifold structure); runtime_state carries the rest."""
+    return (
+        str(ga.dtype),
+        tuple((t, ga.counts[t]) for t in ga.type_names),
+        tuple(
+            (b.ftype.name, b.n, b.vtypes, tuple(sorted(b.params)))
+            for b in ga.batches
+        ),
+    )
 
 
 def _whitened_residual_fn(ga: GraphArrays, batch: FactorBatch):
@@ -28,31 +62,39 @@ def _whitened_residual_fn(ga: GraphArrays, batch: FactorBatch):
     return f
 
 
-def _gather_points(values, batch: FactorBatch):
+def _gather_points(values, batch: FactorBatch, vslots):
     return tuple(
-        values[t][batch.vslots[:, k]] for k, t in enumerate(batch.vtypes)
+        values[t][vslots[:, k]] for k, t in enumerate(batch.vtypes)
     )
 
 
-def batch_residual(ga: GraphArrays, batch: FactorBatch, values):
+def batch_residual(ga: GraphArrays, batch: FactorBatch, values,
+                   params=None, vslots=None, weight=None):
     """Whitened residuals at the current values: (n, zdim)."""
+    params = batch.params if params is None else params
+    vslots = batch.vslots if vslots is None else vslots
+    weight = batch.weight if weight is None else weight
     f = _whitened_residual_fn(ga, batch)
-    pts = _gather_points(values, batch)
+    pts = _gather_points(values, batch, vslots)
     mans = [ga.manifolds[t] for t in batch.vtypes]
     zeros = tuple(
         jnp.zeros((batch.n, m.dof), dtype=ga.dtype) for m in mans
     )
-    r = jax.vmap(f)(zeros, batch.params, pts)
-    return r * batch.weight[:, None]
+    r = jax.vmap(f)(zeros, params, pts)
+    return r * weight[:, None]
 
 
-def batch_linearize(ga: GraphArrays, batch: FactorBatch, values):
+def batch_linearize(ga: GraphArrays, batch: FactorBatch, values,
+                    params=None, vslots=None, weight=None):
     """Whitened residuals and per-slot Jacobians wrt local tangent deltas.
 
     Returns (r0 (n, zdim), Js tuple of (n, zdim, dof_k)).
     """
+    params = batch.params if params is None else params
+    vslots = batch.vslots if vslots is None else vslots
+    weight = batch.weight if weight is None else weight
     f = _whitened_residual_fn(ga, batch)
-    pts = _gather_points(values, batch)
+    pts = _gather_points(values, batch, vslots)
     mans = [ga.manifolds[t] for t in batch.vtypes]
     zeros = tuple(jnp.zeros((batch.n, m.dof), dtype=ga.dtype) for m in mans)
 
@@ -61,50 +103,71 @@ def batch_linearize(ga: GraphArrays, batch: FactorBatch, values):
         J = jax.jacfwd(f, argnums=0)(deltas, params, p)
         return r, J
 
-    r0, Js = jax.vmap(f_and_jac)(zeros, batch.params, pts)
-    w = batch.weight
+    r0, Js = jax.vmap(f_and_jac)(zeros, params, pts)
+    w = weight
     r0 = r0 * w[:, None]
     Js = tuple(J * w[:, None, None] for J in Js)
     return r0, Js
 
 
-def linearize_all(ga: GraphArrays, values):
-    """Linearize every batch. Returns list of (batch, r0, Js)."""
-    return [(b,) + batch_linearize(ga, b, values) for b in ga.batches]
+def linearize_all(ga: GraphArrays, values, rt=None):
+    """Linearize every batch. Returns list of (batch, r0, Js, vslots)."""
+    out = []
+    for i, b in enumerate(ga.batches):
+        if rt is None:
+            r0, Js = batch_linearize(ga, b, values)
+            out.append((b, r0, Js, b.vslots))
+        else:
+            r0, Js = batch_linearize(
+                ga, b, values, rt["params"][i], rt["vslots"][i], rt["weight"][i]
+            )
+            out.append((b, r0, Js, rt["vslots"][i]))
+    return out
 
 
-def cost_at(ga: GraphArrays, values):
+def cost_at(ga: GraphArrays, values, rt=None):
     """0.5 * sum of squared whitened residuals (the LM objective)."""
     c = jnp.zeros((), dtype=ga.dtype)
-    for b in ga.batches:
-        r = batch_residual(ga, b, values)
+    for i, b in enumerate(ga.batches):
+        if rt is None:
+            r = batch_residual(ga, b, values)
+        else:
+            r = batch_residual(
+                ga, b, values, rt["params"][i], rt["vslots"][i], rt["weight"][i]
+            )
         c = c + 0.5 * jnp.sum(r * r)
     return c
 
 
-def gradient_from_lins(ga: GraphArrays, lins):
+def _free_of(ga: GraphArrays, rt):
+    return ga.free if rt is None else rt["free"]
+
+
+def gradient_from_lins(ga: GraphArrays, lins, rt=None):
     """g = J^T r as a per-type tangent pytree, masked by free."""
+    free = _free_of(ga, rt)
     g = ga.tangent_zeros()
-    for batch, r0, Js in lins:
+    for batch, r0, Js, vslots in lins:
         for k, t in enumerate(batch.vtypes):
             contrib = jnp.einsum("nij,ni->nj", Js[k], r0)
-            g[t] = g[t].at[batch.vslots[:, k]].add(contrib)
-    return {t: g[t] * ga.free[t][:, None] for t in g}
+            g[t] = g[t].at[vslots[:, k]].add(contrib)
+    return {t: g[t] * free[t][:, None] for t in g}
 
 
-def hvp_from_lins(ga: GraphArrays, lins, v):
+def hvp_from_lins(ga: GraphArrays, lins, v, rt=None):
     """(J^T J) v as a tangent pytree (Gauss-Newton Hessian-vector product)."""
+    free = _free_of(ga, rt)
     out = ga.tangent_zeros()
-    for batch, _r0, Js in lins:
+    for batch, _r0, Js, vslots in lins:
         u = jnp.zeros((batch.n, batch.ftype.zdim), dtype=ga.dtype)
         for k, t in enumerate(batch.vtypes):
-            vk = v[t][batch.vslots[:, k]] * ga.free[t][batch.vslots[:, k], None]
+            vk = v[t][vslots[:, k]] * free[t][vslots[:, k], None]
             u = u + jnp.einsum("nij,nj->ni", Js[k], vk)
         for k, t in enumerate(batch.vtypes):
-            out[t] = out[t].at[batch.vslots[:, k]].add(
+            out[t] = out[t].at[vslots[:, k]].add(
                 jnp.einsum("nij,ni->nj", Js[k], u)
             )
-    return {t: out[t] * ga.free[t][:, None] for t in out}
+    return {t: out[t] * free[t][:, None] for t in out}
 
 
 def block_diag_from_lins(ga: GraphArrays, lins):
@@ -113,10 +176,10 @@ def block_diag_from_lins(ga: GraphArrays, lins):
         t: jnp.zeros((ga.counts[t], ga.manifolds[t].dof, ga.manifolds[t].dof), dtype=ga.dtype)
         for t in ga.type_names
     }
-    for batch, _r0, Js in lins:
+    for batch, _r0, Js, vslots in lins:
         for k, t in enumerate(batch.vtypes):
             blk = jnp.einsum("nij,nik->njk", Js[k], Js[k])
-            D[t] = D[t].at[batch.vslots[:, k]].add(blk)
+            D[t] = D[t].at[vslots[:, k]].add(blk)
     return D
 
 
@@ -146,37 +209,46 @@ def unflatten_tangent(ga: GraphArrays, x):
     return out
 
 
-def free_vector(ga: GraphArrays):
+def free_vector(ga: GraphArrays, rt=None):
+    free = _free_of(ga, rt)
     return jnp.concatenate(
         [
-            jnp.repeat(ga.free[t], ga.manifolds[t].dof)
+            jnp.repeat(free[t], ga.manifolds[t].dof)
             for t in ga.type_names
         ]
     )
 
 
-def dense_normal_eqs(ga: GraphArrays, lins):
+def dense_normal_eqs(ga: GraphArrays, lins, dtype=None, rt=None):
     """Assemble dense H = J^T J and g = J^T r over the global tangent.
 
     Frozen (free=0) dims get an identity row/col so H stays invertible and
     their update is exactly zero — this is how fixed-lag freezing
     (testFixedLagFG.jl bit-stability) is realized in the parametric path.
+
+    ``dtype``: assembly precision. At M3500 scale cond(H) ~ 1e8, so an H
+    *stored* in f32 is perturbed by eps32*cond ~ O(1) in its solution — the
+    mixed-precision dense solver therefore assembles in f64 (cheap small-
+    block einsum/scatter ops) and factorizes an f32 cast on the MXU.
     """
+    dtype = dtype or ga.dtype
     base, D = tangent_offsets(ga)
-    H = jnp.zeros((D, D), dtype=ga.dtype)
-    g = jnp.zeros((D,), dtype=ga.dtype)
-    for batch, r0, Js in lins:
+    H = jnp.zeros((D, D), dtype=dtype)
+    g = jnp.zeros((D,), dtype=dtype)
+    for batch, r0, Js, vslots in lins:
+        r0 = r0.astype(dtype)
+        Js = tuple(J.astype(dtype) for J in Js)
         offs = []
         for k, t in enumerate(batch.vtypes):
             d = ga.manifolds[t].dof
-            o = base[t] + batch.vslots[:, k] * d  # (n,)
+            o = base[t] + vslots[:, k] * d  # (n,)
             offs.append(o[:, None] + jnp.arange(d)[None, :])  # (n, d)
         for k in range(len(batch.vtypes)):
             g = g.at[offs[k]].add(jnp.einsum("nij,ni->nj", Js[k], r0))
             for l in range(len(batch.vtypes)):
                 blk = jnp.einsum("nij,nik->njk", Js[k], Js[l])
                 H = H.at[offs[k][:, :, None], offs[l][:, None, :]].add(blk)
-    f = free_vector(ga)
+    f = free_vector(ga, rt).astype(dtype)
     H = H * (f[:, None] * f[None, :]) + jnp.diag(1.0 - f)
     g = g * f
     return H, g

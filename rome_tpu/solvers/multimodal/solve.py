@@ -122,10 +122,24 @@ def solve_graph_nonparametric(
     N: Optional[int] = None,
     key=None,
     init: bool = True,
+    engine: str = "batched",
 ):
     """Batch nonparametric solve: graph init + ``sweeps`` rounds of
     variable-wise belief-product updates (solveTree! capability contract:
-    multimodal posteriors, statistical-band accuracy)."""
+    multimodal posteriors, statistical-band accuracy).
+
+    engine="batched" (default): the compiled Jacobi sweep of
+    multimodal/batched.py — all approxConv messages of a factor type in one
+    vmapped program, all per-variable Gibbs products in another.
+    engine="loop": the per-factor Gauss-Seidel host loop (reference-shaped;
+    used as the slow cross-check).
+    """
+    if engine == "batched":
+        from rome_tpu.solvers.multimodal.batched import BatchedNonparametricSolver
+
+        solver = BatchedNonparametricSolver(fg, solve_key, N=N)
+        return solver.solve(sweeps=sweeps, key=key, init=init)
+
     N = N or fg.params.N
     key = key if key is not None else jax.random.PRNGKey(2024)
     if init:

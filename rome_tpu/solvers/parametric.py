@@ -17,6 +17,7 @@ from rome_tpu.solvers.gauss_newton import (
     ParametricSolver,
     marginal_covariances,
 )
+from rome_tpu.solvers.linearize import runtime_state
 
 logger = logging.getLogger("rome_tpu")
 
@@ -29,6 +30,7 @@ def solve_graph_parametric(
     compute_covariances: bool = False,
     dtype=None,
     chordal_init: bool = True,
+    pad: bool = False,
 ):
     """Batch nonlinear least-squares solve of the whole graph.
 
@@ -47,7 +49,7 @@ def solve_graph_parametric(
     if init:
         fg.init_all(solve_key)
 
-    ga = lower(fg, solve_key, dtype=dtype)
+    ga = lower(fg, solve_key, dtype=dtype, pad=pad)
 
     # gauge check: a graph with no unary factor has a global gauge freedom;
     # anchor the first variable like the reference examples do by adding a
@@ -72,8 +74,10 @@ def solve_graph_parametric(
         from rome_tpu.solvers.init2d import chordal_init_pose2
 
         values0 = chordal_init_pose2(ga, values0)
-    solver = ParametricSolver(ga, opts)
-    values, stats = solver.solve(values0)
+    # structure-cached solver: identical (padded) shapes reuse the compiled
+    # LM program; the graph's data rides in as the traced runtime_state
+    solver = ParametricSolver.cached(ga, opts)
+    values, stats = solver.solve(values0, rt=runtime_state(ga))
     dt = time.time() - t0
 
     write_back(fg, ga, values, solve_key)
