@@ -77,6 +77,7 @@ class BeliefPropagator:
     fallback: list             # (factor_label, var_label, ttype, dest_var, dest_k)
     kmax: dict                 # type -> K_max
     has_msg: dict              # type -> (n,) bool — any incoming message
+    msg_factor: dict = None    # type -> (V, K) str array of factor labels ('' = none)
     _sweep = None              # jitted when no fallback factors
     _messages = None
     _products = None
@@ -160,8 +161,24 @@ def build_propagator(
     kmax = {t: max(1, int(c.max()) if len(c) else 1) for t, c in counters.items()}
     has_msg = {t: counters[t] > 0 for t in ga.type_names}
 
+    # (var, k) -> factor label map so tree schedules can mask message
+    # subsets (subtree-restricted upsolve messages)
+    msg_factor = {
+        t: np.full((ga.counts[t], kmax[t]), "", dtype=object)
+        for t in ga.type_names
+    }
+    for src in sources:
+        b = ga.batches[src.b]
+        for i in range(b.n):
+            lbl = b.labels[i] if i < len(b.labels) else None
+            if lbl:
+                msg_factor[src.ttype][src.dest_var[i], src.dest_k[i]] = lbl
+    for lbl, _v, t, vslot, k in fallback:
+        msg_factor[t][vslot, k] = lbl
+
     bp = BeliefPropagator(
-        ga=ga, N=N, sources=sources, fallback=fallback, kmax=kmax, has_msg=has_msg
+        ga=ga, N=N, sources=sources, fallback=fallback, kmax=kmax,
+        has_msg=has_msg, msg_factor=msg_factor,
     )
     bp._messages = jax.jit(_make_messages_fn(bp))
     bp._products = jax.jit(
@@ -301,7 +318,7 @@ def _masked_gibbs(man, K, N, gibbs_sweeps):
 def _make_products_fn(bp: BeliefPropagator, gibbs_sweeps: int):
     ga, N = bp.ga, bp.N
 
-    def products(beliefs, padded, masks, key):
+    def products(beliefs, padded, masks, var_masks, key):
         new_beliefs = dict(beliefs)
         for ti, t in enumerate(ga.type_names):
             if t not in padded:
@@ -312,9 +329,15 @@ def _make_products_fn(bp: BeliefPropagator, gibbs_sweeps: int):
             prod = _masked_gibbs(man, K, N, gibbs_sweeps)
             keys = jax.random.split(jax.random.fold_in(key, ti), V)
             out = jax.vmap(prod)(keys, padded[t], masks[t])
+            # a variable updates only when it has >=1 unmasked message, is
+            # free, and is selected by the schedule's var mask; otherwise its
+            # belief passes through BIT-IDENTICAL (tree recycling contract)
+            any_msg = jnp.max(masks[t], axis=1)
             upd = (
-                jnp.asarray(bp.has_msg[t], dtype=beliefs[t].dtype)
+                any_msg
+                * jnp.asarray(bp.has_msg[t], dtype=beliefs[t].dtype)
                 * ga.free[t]
+                * var_masks[t]
             )[:, None, None]
             new_beliefs[t] = jnp.where(upd > 0, out, beliefs[t])
         return new_beliefs
@@ -385,7 +408,12 @@ class BatchedNonparametricSolver:
                 rec.initialized[self.solve_key] = True
 
     # -- one Jacobi sweep ----------------------------------------------------
-    def sweep(self, beliefs, key):
+    def sweep(self, beliefs, key, var_masks=None, msg_masks=None):
+        """One belief-propagation sweep. ``var_masks``/``msg_masks``
+        (optional {type: (V,)} / {type: (V, K)} float arrays) let a tree
+        schedule update only selected frontal variables from a restricted
+        (e.g. subtree-assigned) message set — traced, so masked calls reuse
+        the same compiled programs."""
         bp, ga = self.bp, self.ga
         msgs = bp._messages(beliefs, self._params_all, key)
 
@@ -418,7 +446,21 @@ class BatchedNonparametricSolver:
                 padded[t] = padded[t].at[vslot, k].set(m.astype(ga.dtype))
                 masks[t] = masks[t].at[vslot, k].set(1.0)
 
-        return bp._products(beliefs, padded, masks, jax.random.fold_in(key, 99))
+        if msg_masks is not None:
+            masks = {
+                t: masks[t] * jnp.asarray(msg_masks[t], ga.dtype) for t in masks
+            }
+        if var_masks is None:
+            var_masks = {
+                t: jnp.ones((ga.counts[t],), ga.dtype) for t in padded
+            }
+        else:
+            var_masks = {
+                t: jnp.asarray(var_masks[t], ga.dtype) for t in padded
+            }
+        return bp._products(
+            beliefs, padded, masks, var_masks, jax.random.fold_in(key, 99)
+        )
 
     def solve(self, sweeps: int = 3, key=None, init: bool = True):
         from rome_tpu.solvers.multimodal.solve import init_all_beliefs

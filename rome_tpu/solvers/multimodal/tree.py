@@ -19,6 +19,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rome_tpu.graph.graph import FactorGraph
@@ -101,6 +102,7 @@ class BayesTree:
     levels: list = field(default_factory=list)  # list[list[int]] root-first
     build_time: float = 0.0
     num_recycled: int = 0
+    dirty: set = field(default_factory=set)  # clique indices re-solved
 
     @property
     def num_cliques(self):
@@ -229,6 +231,27 @@ def build_tree_from_ordering(
 
 # ------------------------------ tree solve ----------------------------------
 
+def _dirty_cliques(tree: BayesTree, old_tree: Optional[BayesTree]):
+    """Cliques that must be re-solved: any clique whose signature is not in
+    the old tree, plus all its ancestors (upsolve messages flow rootward).
+    Signature-matched cliques off the dirty path are RECYCLED — skipped
+    entirely, beliefs bit-identical (solveTree!(fg, tree) semantics,
+    testBeehiveGrow.jl:20-28)."""
+    if old_tree is None:
+        tree.num_recycled = 0
+        return {c.index for c in tree.cliques}
+    old_sigs = {c.signature for c in old_tree.cliques}
+    dirty: set = set()
+    for c in tree.cliques:
+        if c.signature not in old_sigs:
+            i = c.index
+            while i is not None and i not in dirty:
+                dirty.add(i)
+                i = tree.cliques[i].parent
+    tree.num_recycled = tree.num_cliques - len(dirty)
+    return dirty
+
+
 def solve_tree(
     fg: FactorGraph,
     old_tree: Optional[BayesTree] = None,
@@ -237,11 +260,20 @@ def solve_tree(
     key=None,
     init: bool = True,
     downsolve: Optional[bool] = None,
+    engine: str = "batched",
 ) -> BayesTree:
     """solveTree!(fg[, oldtree]) analogue: build (recycling against the old
     tree), then clique-scheduled nonparametric belief propagation —
     upsolve leaves->root, then downsolve root->leaves (SolverParams.downsolve)
-    — and surface means as point estimates."""
+    — and surface means as point estimates.
+
+    engine="batched": every tree level dispatches as ONE pair of compiled
+    calls (all messages of the level's cliques batched; products vmapped
+    over the level's frontal variables), with upsolve messages restricted to
+    each clique's subtree-assigned factors. Recycled cliques are skipped —
+    their beliefs pass through bit-identical.
+    engine="loop": per-variable host loop (reference-shaped cross-check).
+    """
     from rome_tpu.solvers.multimodal.kde import manifold_mean
     from rome_tpu.solvers.multimodal.solve import init_all_beliefs, predict_belief
 
@@ -249,15 +281,18 @@ def solve_tree(
     key = key if key is not None else jax.random.PRNGKey(1331)
     downsolve = fg.params.downsolve if downsolve is None else downsolve
     tree = build_tree_from_ordering(fg, old_tree=old_tree)
+    dirty = _dirty_cliques(tree, old_tree)
+    tree.dirty = dirty
 
     if init:
         init_all_beliefs(fg, solve_key, N=N, key=jax.random.fold_in(key, 0))
 
+    if engine == "batched":
+        _solve_tree_batched(fg, tree, dirty, solve_key, N, key, downsolve)
+        return tree
+
     def update_clique(cidx: int, kk):
         c = tree.cliques[cidx]
-        # factors allowed: any factor touching clique variables whose scope is
-        # inside the clique's subtree "view" — in-place shared beliefs carry
-        # separator messages implicitly
         for j, v in enumerate(c.frontals):
             rec = fg.variables[v]
             if rec.solvable <= 0 or rec.marginalized:
@@ -271,19 +306,127 @@ def solve_tree(
     # upsolve: deepest level first
     for li, level in enumerate(reversed(tree.levels)):
         for cidx in level:  # same-level cliques are independent
+            if cidx not in dirty:
+                continue
             update_clique(cidx, jax.random.fold_in(key, 10000 + li * 100 + cidx))
     # downsolve: root outward (downsolve/limitfixeddown semantics)
     if downsolve:
         for li, level in enumerate(tree.levels):
             for cidx in level:
+                if cidx not in dirty:
+                    continue
                 update_clique(cidx, jax.random.fold_in(key, 50000 + li * 100 + cidx))
 
     for label, rec in fg.variables.items():
         if solve_key in rec.beliefs:
+            if fg.variables[label].solvable <= 0 or rec.marginalized:
+                continue
             mu = manifold_mean(rec.manifold, rec.beliefs[solve_key])
             rec.points[solve_key] = np.asarray(mu, dtype=np.float64)
             rec.initialized[solve_key] = True
     return tree
+
+
+def _solve_tree_batched(fg, tree, dirty, solve_key, N, key, downsolve):
+    """Level-batched tree schedule over the compiled sweep kernels."""
+    from rome_tpu.solvers.multimodal.batched import BatchedNonparametricSolver
+    from rome_tpu.solvers.multimodal.kde import manifold_mean
+
+    solver = BatchedNonparametricSolver(fg, solve_key, N=N)
+    ga, bp = solver.ga, solver.bp
+    beliefs = solver.gather_beliefs()
+
+    # clique bookkeeping: factor -> clique, subtree factor sets
+    clique_of_fct = {}
+    for c in tree.cliques:
+        for fl in c.factors:
+            clique_of_fct[fl] = c.index
+    subtree_facts: dict[int, set] = {}
+
+    def facts_of_subtree(ci):
+        if ci in subtree_facts:
+            return subtree_facts[ci]
+        c = tree.cliques[ci]
+        s = set(c.factors)
+        for ch in c.children:
+            s |= facts_of_subtree(ch)
+        subtree_facts[ci] = s
+        return s
+
+    var_slot = {
+        lbl: (t, s)
+        for t in ga.type_names
+        for s, lbl in enumerate(ga.var_labels[t])
+    }
+    touched = {t: np.zeros(ga.counts[t]) for t in ga.type_names}
+
+    def level_masks(cliques_sel, restrict_subtree):
+        var_masks = {t: np.zeros(ga.counts[t]) for t in ga.type_names}
+        msg_masks = (
+            {t: np.zeros((ga.counts[t], bp.kmax[t])) for t in ga.type_names}
+            if restrict_subtree
+            else {t: np.ones((ga.counts[t], bp.kmax[t])) for t in ga.type_names}
+        )
+        for ci in cliques_sel:
+            c = tree.cliques[ci]
+            allowed = facts_of_subtree(ci) if restrict_subtree else None
+            for v in c.frontals:
+                if v not in var_slot:
+                    continue
+                rec = fg.variables[v]
+                if rec.solvable <= 0 or rec.marginalized:
+                    continue
+                t, s = var_slot[v]
+                var_masks[t][s] = 1.0
+                touched[t][s] = 1.0
+                if restrict_subtree:
+                    mf = bp.msg_factor[t][s]
+                    for k in range(bp.kmax[t]):
+                        fl = mf[k]
+                        if fl and (fl in allowed):
+                            msg_masks[t][s, k] = 1.0
+        return var_masks, msg_masks
+
+    seq = 0
+    # upsolve: deepest level first, messages restricted to subtree factors
+    for level in reversed(tree.levels):
+        sel = [ci for ci in level if ci in dirty]
+        if not sel:
+            continue
+        vm, mm = level_masks(sel, restrict_subtree=True)
+        beliefs = solver.sweep(
+            beliefs, jax.random.fold_in(key, 10000 + seq), vm, mm
+        )
+        seq += 1
+    # downsolve: root outward, full message sets (parent info included)
+    if downsolve:
+        for level in tree.levels:
+            sel = [ci for ci in level if ci in dirty]
+            if not sel:
+                continue
+            vm, mm = level_masks(sel, restrict_subtree=False)
+            beliefs = solver.sweep(
+                beliefs, jax.random.fold_in(key, 50000 + seq), vm, mm
+            )
+            seq += 1
+
+    solver.scatter_beliefs(beliefs)
+    # surface means only for variables the schedule actually updated —
+    # recycled cliques keep beliefs AND point estimates bit-identical
+    for t in ga.type_names:
+        man = ga.manifolds[t]
+        upd_slots = np.nonzero(touched[t] * np.asarray(ga.free[t]))[0]
+        if len(upd_slots) == 0:
+            continue
+        mus = jax.vmap(lambda p: manifold_mean(man, p))(
+            beliefs[t][jnp.asarray(upd_slots)]
+        )
+        mus = np.asarray(mus, dtype=np.float64)
+        for i, s in enumerate(upd_slots):
+            lbl = ga.var_labels[t][int(s)]
+            rec = fg.variables[lbl]
+            rec.points[solve_key] = mus[i]
+            rec.initialized[solve_key] = True
 
 
 # reference-style aliases

@@ -115,3 +115,41 @@ def test_maxincidence_guard():
         )
     with pytest.raises(RuntimeError, match="maxincidence"):
         get_elimination_order(fg)
+
+
+@pytest.mark.slow
+def test_recycled_cliques_bit_identical():
+    """True recycling: after appending one pose, ONLY dirty-path cliques
+    recompute — every recycled clique's frontal beliefs and point estimates
+    are BIT-IDENTICAL across the re-solve (solveTree!(fg, tree) contract,
+    testBeehiveGrow.jl:20-28)."""
+    fg = _chain(8)
+    tree1 = solve_tree(fg, N=60)
+    before = {
+        v: np.asarray(fg.variables[v].beliefs["default"]).copy()
+        for v in fg.ls()
+    }
+    pts_before = {v: np.asarray(fg.variables[v].points["default"]).copy() for v in fg.ls()}
+
+    fg.add_variable("x8", Pose2)
+    fg.add_factor(["x7", "x8"], Pose2Pose2(MvNormal([1, 0, 0], np.eye(3) * 0.01)))
+    tree2 = solve_tree(fg, tree1, N=60)
+    assert tree2.num_recycled > 0
+
+    recycled_vars = [
+        v
+        for c in tree2.cliques
+        if c.index not in tree2.dirty
+        for v in c.frontals
+        if v in before
+    ]
+    assert recycled_vars, "expected at least one recycled clique"
+    for v in recycled_vars:
+        after = np.asarray(fg.variables[v].beliefs["default"])
+        np.testing.assert_array_equal(after, before[v])
+        np.testing.assert_array_equal(
+            np.asarray(fg.variables[v].points["default"]), pts_before[v]
+        )
+    # the new pose did get solved
+    med = np.median(np.asarray(fg.variables["x8"].beliefs["default"])[:, 0])
+    assert abs(med - 8) < 1.0
