@@ -167,7 +167,7 @@ def make_sharded_gn_step(
             out[t] = man.normalize(man.boxplus(values[t], delta[t] * free[t][:, None]))
         return out
 
-    def step_shard(values, lam, barrs):
+    def step_shard_core(values, lam, barrs):
         cost0, lins = cost_of(values, barrs)
         g = grad_of(lins)
         D = block_diag_of(lins)
@@ -227,7 +227,64 @@ def make_sharded_gn_step(
             lambda a, b_: jnp.where(ok, a, b_), trial, values
         )
         gnorm = jnp.sqrt(tdot(g, g))
+        dnorm = jnp.sqrt(tdot(delta, delta))
+        return new_values, cost0, cost1, gnorm, dnorm, ok
+
+    def step_shard(values, lam, barrs):
+        new_values, cost0, cost1, gnorm, _dn, ok = step_shard_core(
+            values, lam, barrs
+        )
         return new_values, cost0, cost1, gnorm, ok
+
+    def solve_shard(values, lam, barrs):
+        """FUSED distributed LM: the whole solve is one XLA program per
+        device — lax.while_loop over LM iterations with the Marquardt
+        schedule and convergence logic in-graph; the only collectives are
+        the psums inside the step. No host sync per iteration (the round-1
+        host loop cost one device round-trip per LM step)."""
+        max_iters = 100
+
+        def cond(state):
+            _v, _lam, it, _cp, _nr, code = state
+            return jnp.logical_and(it < max_iters, code == 0)
+
+        def body(state):
+            values, lam, it, cost_prev, n_rej, code = state
+            new_values, cost0, cost1, gnorm, dnorm, ok = step_shard_core(
+                values, lam, barrs
+            )
+            new_lam = jnp.where(
+                ok,
+                jnp.maximum(lam * 0.25, 1e-12),
+                jnp.minimum(lam * 8.0, 1e8),
+            )
+            ftol_hit = jnp.abs(cost_prev - cost1) <= 1e-8 * jnp.maximum(
+                1.0, jnp.abs(cost_prev)
+            )
+            acc_code = jnp.where(
+                gnorm < 1e-8,
+                1,
+                jnp.where(
+                    jnp.logical_and(jnp.isfinite(cost_prev), ftol_hit), 3, 0
+                ),
+            )
+            n_rej_new = jnp.where(ok, 0, n_rej + 1)
+            rej_code = jnp.where(n_rej_new >= 8, 5, 0)
+            new_code = jnp.where(ok, acc_code, rej_code).astype(jnp.int32)
+            new_cost_prev = jnp.where(ok, cost1, cost_prev)
+            return (new_values, new_lam, it + 1, new_cost_prev,
+                    n_rej_new, new_code)
+
+        init = (
+            values, lam, jnp.zeros((), jnp.int32),
+            jnp.asarray(jnp.inf, dtype=dtype),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        )
+        values, lam, it, cost_prev, _nr, code = jax.lax.while_loop(
+            cond, body, init
+        )
+        final_cost, _ = cost_of(values, barrs)
+        return values, it, code, final_cost
 
     barrs = _batch_arrays(ga)
     vspec = {t: P() for t in type_names}
@@ -243,6 +300,15 @@ def make_sharded_gn_step(
         check_vma=False,
     )
     jitted = jax.jit(sharded)
+    solve_sharded = jax.jit(
+        shard_map(
+            solve_shard,
+            mesh=mesh,
+            in_specs=(vspec, P(), bspec),
+            out_specs=(vspec, P(), P(), P()),
+            check_vma=False,
+        )
+    )
 
     # device-put the batch arrays with the factor-axis sharding so the jit
     # does not re-shard on every call
@@ -257,22 +323,27 @@ def make_sharded_gn_step(
     def step(values, lam):
         return jitted(values, lam, barrs)
 
+    def solve(values, lam):
+        return solve_sharded(values, lam, barrs)
+
+    step.solve = solve
     return step, ga
 
 
-def solve_distributed(ga: GraphArrays, mesh: Mesh, max_iters: int = 50,
+def solve_distributed(ga: GraphArrays, mesh: Mesh, max_iters: int = 100,
                       lam0: float = 1e-4, values=None, **kw):
-    """Distributed LM driver over the sharded step (host-side lambda
-    schedule mirroring ParametricSolver.solve)."""
+    """Distributed LM solve: the FUSED on-device loop (one XLA dispatch for
+    the entire solve; psum collectives only). Returns (values, stats dict)."""
     step, ga = make_sharded_gn_step(ga, mesh, **kw)
-    values = values or ga.values0
+    values = values if values is not None else ga.values0
     lam = jnp.asarray(lam0, dtype=ga.dtype)
-    history = []
-    for it in range(max_iters):
-        values, cost0, cost1, gnorm, ok = step(values, lam)
-        okb = bool(ok)
-        history.append(dict(iter=it, cost0=float(cost0), cost1=float(cost1), accepted=okb))
-        lam = jnp.where(ok, jnp.maximum(lam * 0.25, 1e-12), jnp.minimum(lam * 8.0, 1e8))
-        if okb and abs(float(cost0) - float(cost1)) < 1e-8 * max(1.0, float(cost0)):
-            break
-    return values, history
+    values, it, code, final_cost = step.solve(values, lam)
+    stats = dict(
+        iterations=int(it),
+        reason={0: "max_iters", 1: "gtol", 3: "ftol", 5: "stalled"}.get(
+            int(code), "?"
+        ),
+        converged=int(code) in (1, 3),
+        final_cost=float(final_cost),
+    )
+    return values, stats
