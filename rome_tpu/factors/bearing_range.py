@@ -103,20 +103,35 @@ POSE2POINT2BEARINGRANGE = register_factor_type(
 )
 
 
-def Pose2Point2BearingRange(bearing: Distribution, range_: Distribution = None, **kw):
+def Pose2Point2BearingRange(
+    bearing: Distribution, range_: Distribution = None, cov=None, **kw
+):
     """Two independent scalar beliefs, bearing first — matches the reference
     constructor ``Pose2Point2BearingRange(Normal(th, s), Normal(r, s))`` and
-    its parametric (mean, diag inv-var) lowering (BearingRange2D.jl:30-37)."""
+    its parametric (mean, diag inv-var) lowering (BearingRange2D.jl:30-37).
+
+    ``cov``: optional full 2x2 (bearing, range) covariance carrying the
+    bearing-range CROSS term — the g2o ``LANDMARK`` command's (ib, ibr, ir)
+    information triple (g2oParser.jl:123-133). When given, the measurement
+    becomes one joint MvNormal.
+    """
+    from rome_tpu.distributions import MvNormal
+    from rome_tpu.factors.base import gaussian_params
+
     if range_ is None:
         range_ = Normal(1.0, 1.0)
     mean = np.array([bearing.mean()[0], range_.mean()[0]])
-    cov = np.diag([bearing.cov()[0, 0], range_.cov()[0, 0]])
-    from rome_tpu.factors.base import gaussian_params
+    if cov is None:
+        cov = np.diag([bearing.cov()[0, 0], range_.cov()[0, 0]])
+        dists = (bearing, range_)
+    else:
+        cov = np.asarray(cov, dtype=np.float64)
+        dists = (MvNormal(mean, cov),)
 
     return Factor(
         ftype=POSE2POINT2BEARINGRANGE,
         variables=(),
         params=gaussian_params(mean, cov),
-        dists=(bearing, range_),
+        dists=dists,
         **kw,
     )

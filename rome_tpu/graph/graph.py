@@ -30,13 +30,19 @@ class SolverParams:
 
     N: int = 100                      # particles per belief
     graphinit: bool = True            # init new variables by factor propagation
-    treeinit: bool = False
+    treeinit: bool = False            # solveGraph routes through the Bayes tree
     downsolve: bool = True
-    multiproc: bool = False
+    multiproc: bool = False           # parametric solve over the device mesh
+    # async_ is realized by the frontend: manage_solve_tree (Slam.jl:189-297
+    # analogue) always runs the solver on a background thread with Condition
+    # backpressure; this flag is carried for config parity.
     async_: bool = False
-    drawtree: bool = False
-    showtree: bool = False
-    useMsgLikelihoods: bool = False
+    drawtree: bool = False            # write ASCII Bayes tree to logpath
+    showtree: bool = False            # print ASCII Bayes tree after build
+    # True: tree upsolve restricts each clique's messages to its
+    # subtree-assigned factors (message-likelihood discipline); False: full
+    # neighborhood belief products (testHexagonal2D_CliqByCliq.jl:17-26)
+    useMsgLikelihoods: bool = True
     qfl: int = 99999999               # quasi fixed-lag window length
     isfixedlag: bool = False
     limitfixeddown: bool = False

@@ -99,21 +99,25 @@ def parse_g2o_instruction(
                 fg.add_variable(lbl, Pose3V)
         fg.add_factor([a, b], Pose3Pose3(MvNormal(np.concatenate([dt, rotvec]), cov)))
     elif cmd == "LANDMARK":
-        # custom RoME landmark sighting command (g2oParser.jl commands dict)
+        # custom RoME landmark sighting command (g2oParser.jl:123-133):
+        # full (ib, ibr, ir) information incl. the bearing-range cross term
         a, b = "x" + tokens[1], "l" + tokens[2]
         bearing, rng = float(tokens[3]), float(tokens[4])
-        ib, _ibr, ir = (float(v) for v in tokens[5:8])
+        ib, ibr, ir = (float(v) for v in tokens[5:8])
         from rome_tpu.variables import Point2 as Point2V
 
         if a not in fg.variables:
             fg.add_variable(a, Pose2V)
         if b not in fg.variables:
             fg.add_variable(b, Point2V, tags=("LANDMARK",))
+        info = np.array([[max(ib, 1e-12), ibr], [ibr, max(ir, 1e-12)]])
+        cov = _info_to_cov(info)
         fg.add_factor(
             [a, b],
             Pose2Point2BearingRange(
-                Normal(bearing, 1.0 / np.sqrt(max(ib, 1e-12))),
-                Normal(rng, 1.0 / np.sqrt(max(ir, 1e-12))),
+                Normal(bearing, np.sqrt(cov[0, 0])),
+                Normal(rng, np.sqrt(cov[1, 1])),
+                cov=cov,
             ),
         )
     return fg
@@ -164,12 +168,15 @@ def _string_pose2pose2(f, ids) -> str:
 
 
 def _string_bearing_range(f, ids) -> str:
-    b, r = f.dists
-    ib = 1.0 / b.cov()[0, 0]
-    ir = 1.0 / r.cov()[0, 0]
+    # full information incl. the bearing-range cross term from the factor's
+    # whitening matrix: info = S^T S (g2oParser.jl:123-133 round-trip)
+    S = np.asarray(f.params["sqrt_info"])
+    info = S.T @ S
+    m = np.asarray(f.params["z"])
     return " ".join(
         ["LANDMARK", str(ids[0]), str(ids[1]),
-         _fmt(b.mean()[0]), _fmt(r.mean()[0]), _fmt(ib), _fmt(0.0), _fmt(ir)]
+         _fmt(m[0]), _fmt(m[1]),
+         _fmt(info[0, 0]), _fmt(info[0, 1]), _fmt(info[1, 1])]
     )
 
 

@@ -260,3 +260,71 @@ def load_dfg(path: str) -> FactorGraph:
 # reference-style aliases
 saveDFG = save_dfg
 loadDFG = load_dfg
+
+
+# ---------------------------------------------------------------------------
+# Bayes tree serialization (saveTree/loadTree analogue, MITDatasetBatch.jl:45)
+# ---------------------------------------------------------------------------
+
+def save_tree(tree, path: str) -> str:
+    """Serialize a BayesTree to JSON (saveTree(tree, file.jld2) analogue)."""
+    import json
+
+    if not path.endswith(".json"):
+        path = path + ".json"
+    doc = {
+        "order": list(tree.order),
+        "build_time": tree.build_time,
+        "num_recycled": tree.num_recycled,
+        "levels": [list(l) for l in tree.levels],
+        "cliques": [
+            {
+                "index": c.index,
+                "frontals": list(c.frontals),
+                "separator": list(c.separator),
+                "factors": list(c.factors),
+                "parent": c.parent,
+                "children": list(c.children),
+                "signature": [list(s) for s in c.signature],
+            }
+            for c in tree.cliques
+        ],
+    }
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    return path
+
+
+def load_tree(path: str):
+    """Inverse of :func:`save_tree`."""
+    import json
+
+    from rome_tpu.solvers.multimodal.tree import BayesTree, Clique
+
+    if not path.endswith(".json"):
+        path = path + ".json"
+    with open(path) as fh:
+        doc = json.load(fh)
+    cliques = [
+        Clique(
+            index=c["index"],
+            frontals=list(c["frontals"]),
+            separator=list(c["separator"]),
+            factors=list(c["factors"]),
+            parent=c["parent"],
+            children=list(c["children"]),
+            signature=tuple(tuple(s) for s in c["signature"]),
+        )
+        for c in doc["cliques"]
+    ]
+    return BayesTree(
+        cliques=cliques,
+        order=list(doc["order"]),
+        levels=[list(l) for l in doc["levels"]],
+        build_time=doc.get("build_time", 0.0),
+        num_recycled=doc.get("num_recycled", 0),
+    )
+
+
+saveTree = save_tree
+loadTree = load_tree

@@ -56,9 +56,14 @@ def _solve_spd(A, g, free, dtype):
     return jax.scipy.linalg.cho_solve((L, low), -g) * f
 
 
+_CHORDAL_CACHE: dict = {}
+
+
 def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
     """Return values with the Pose2 block re-initialized. Other variable
-    types pass through untouched."""
+    types pass through untouched. The whole two-stage solve is ONE jitted
+    program (eager scatter-adds cost ~ms each over a tunneled TPU — 166 s
+    measured on M3500) and is cached per structure."""
     if "Pose2" not in ga.counts:
         return values
     n = ga.counts["Pose2"]
@@ -66,9 +71,27 @@ def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
     if not edges:
         return values
     priors = _pose2_priors(ga)
-    free = ga.free["Pose2"]
-    th = values["Pose2"][:, 2]
-    dtype = ga.dtype
+
+    sig = (
+        n,
+        str(ga.dtype),
+        tuple(e[2].shape for e in edges),
+        tuple(p[1].shape for p in priors),
+    )
+    fn = _CHORDAL_CACHE.get(sig)
+    if fn is None:
+        fn = jax.jit(
+            lambda v, e, p, f: _chordal_body(ga.dtype, n, v, e, p, f)
+        )
+        _CHORDAL_CACHE[sig] = fn
+    pose2 = fn(values["Pose2"], edges, priors, ga.free["Pose2"])
+    out = dict(values)
+    out["Pose2"] = pose2
+    return out
+
+
+def _chordal_body(dtype, n, pose2_values, edges, priors, free):
+    th = pose2_values[:, 2]
 
     # ---------------- stage 1: rotations (2 linear GN passes) --------------
     def theta_pass(th):
@@ -96,7 +119,7 @@ def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
 
     # ---------------- stage 2: translations (single linear solve) ----------
     R = rot2(th)
-    t0 = values["Pose2"][:, :2]
+    t0 = pose2_values[:, :2]
     A = jnp.zeros((2 * n, 2 * n), dtype=dtype)
     g = jnp.zeros((n, 2), dtype=dtype)
 
@@ -129,7 +152,4 @@ def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
     f2 = jnp.repeat(free, 2)
     dt = _solve_spd(A, (g * free[:, None]).reshape(-1), f2, dtype)
     t = t0 + dt.reshape(n, 2)
-
-    out = dict(values)
-    out["Pose2"] = jnp.concatenate([t, th[:, None]], axis=-1)
-    return out
+    return jnp.concatenate([t, th[:, None]], axis=-1)

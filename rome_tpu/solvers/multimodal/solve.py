@@ -134,6 +134,14 @@ def solve_graph_nonparametric(
     engine="loop": the per-factor Gauss-Seidel host loop (reference-shaped;
     used as the slow cross-check).
     """
+    if fg.params.treeinit:
+        # SolverParams.treeinit: route the solve through the Bayes-tree
+        # schedule (build + up/down clique passes) instead of flat sweeps
+        from rome_tpu.solvers.multimodal.tree import solve_tree
+
+        solve_tree(fg, solve_key=solve_key, N=N, key=key, init=init)
+        return fg
+
     if engine == "batched":
         from rome_tpu.solvers.multimodal.batched import BatchedNonparametricSolver
 

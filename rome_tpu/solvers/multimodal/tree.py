@@ -283,12 +283,41 @@ def solve_tree(
     tree = build_tree_from_ordering(fg, old_tree=old_tree)
     dirty = _dirty_cliques(tree, old_tree)
     tree.dirty = dirty
+    if fg.params.showtree:
+        print(format_tree(tree))
+    if fg.params.drawtree:
+        import os
+
+        os.makedirs(fg.params.logpath, exist_ok=True)
+        with open(os.path.join(fg.params.logpath, "bt.txt"), "w") as fh:
+            fh.write(format_tree(tree))
 
     if init:
         init_all_beliefs(fg, solve_key, N=N, key=jax.random.fold_in(key, 0))
 
     if engine == "batched":
-        _solve_tree_batched(fg, tree, dirty, solve_key, N, key, downsolve)
+        _solve_tree_batched(
+            fg, tree, dirty, solve_key, N, key, downsolve,
+            restrict_subtree=fg.params.useMsgLikelihoods,
+        )
+        if fg.params.dbg:
+            import json
+            import os
+
+            os.makedirs(fg.params.logpath, exist_ok=True)
+            with open(
+                os.path.join(fg.params.logpath, "solve_dbg.json"), "w"
+            ) as fh:
+                json.dump(
+                    {
+                        "num_cliques": tree.num_cliques,
+                        "num_recycled": tree.num_recycled,
+                        "dirty": sorted(dirty),
+                        "levels": [list(l) for l in tree.levels],
+                        "build_time": tree.build_time,
+                    },
+                    fh,
+                )
         return tree
 
     def update_clique(cidx: int, kk):
@@ -327,7 +356,37 @@ def solve_tree(
     return tree
 
 
-def _solve_tree_batched(fg, tree, dirty, solve_key, N, key, downsolve):
+def format_tree(tree: BayesTree) -> str:
+    """ASCII rendering of the Bayes tree (drawTree/showTree analogue,
+    MITDatasetBatch.jl:46-50)."""
+    lines = [
+        f"BayesTree: {tree.num_cliques} cliques, "
+        f"{len(tree.levels)} levels, {tree.num_recycled} recycled"
+    ]
+
+    def walk(ci, depth):
+        c = tree.cliques[ci]
+        mark = "*" if ci in tree.dirty else " "
+        lines.append(
+            "  " * depth
+            + f"{mark}[{ci}] {','.join(c.frontals)} | {','.join(c.separator)}"
+            + (f"  ({len(c.factors)} fct)" if c.factors else "")
+        )
+        for ch in c.children:
+            walk(ch, depth + 1)
+
+    for c in tree.cliques:
+        if c.parent is None:
+            walk(c.index, 1)
+    return "\n".join(lines)
+
+
+drawTree = format_tree
+
+
+def _solve_tree_batched(
+    fg, tree, dirty, solve_key, N, key, downsolve, restrict_subtree=True
+):
     """Level-batched tree schedule over the compiled sweep kernels."""
     from rome_tpu.solvers.multimodal.batched import BatchedNonparametricSolver
     from rome_tpu.solvers.multimodal.kde import manifold_mean
@@ -393,7 +452,7 @@ def _solve_tree_batched(fg, tree, dirty, solve_key, N, key, downsolve):
         sel = [ci for ci in level if ci in dirty]
         if not sel:
             continue
-        vm, mm = level_masks(sel, restrict_subtree=True)
+        vm, mm = level_masks(sel, restrict_subtree=restrict_subtree)
         beliefs = solver.sweep(
             beliefs, jax.random.fold_in(key, 10000 + seq), vm, mm
         )

@@ -42,12 +42,20 @@ def solve_graph_parametric(
 
     Returns a result dict with stats, and covariances when requested.
     """
+    import jax
     import jax.numpy as jnp
 
     if dtype is None:
         dtype = jnp.float64 if fg.params.dtype == "float64" else jnp.float32
     if init:
         fg.init_all(solve_key)
+
+    if fg.params.multiproc and len(jax.devices()) > 1:
+        # SolverParams.multiproc (reference: clique dispatch to Distributed
+        # workers): run the factor-sharded solve over the full device mesh
+        from rome_tpu.parallel.distributed import solve_graph_distributed
+
+        return solve_graph_distributed(fg, solve_key=solve_key)
 
     ga = lower(fg, solve_key, dtype=dtype, pad=pad)
 

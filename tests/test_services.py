@@ -156,3 +156,45 @@ def test_compare_density_and_homography():
     c2 = homography_to_coordinates(H)
     np.testing.assert_allclose(c2, c, atol=1e-6)
     np.testing.assert_allclose(H[3], [0, 0, 0, 1])
+
+
+def test_landmark_cross_info_roundtrip(tmp_path):
+    """LANDMARK g2o line with a nonzero bearing-range cross-information term
+    survives import -> export bit-faithfully (g2oParser.jl:123-133)."""
+    import numpy as np
+
+    from rome_tpu import FactorGraph
+    from rome_tpu.io.g2o import export_g2o, parse_g2o_instruction
+
+    fg = FactorGraph()
+    fg.params.graphinit = False
+    line = "LANDMARK 0 1 0.3 12.0 25.0 3.0 4.0"
+    parse_g2o_instruction(fg, line.split())
+    f = [fg.factors[l] for l in fg.lsf()][0]
+    S = np.asarray(f.params["sqrt_info"])
+    info = S.T @ S
+    np.testing.assert_allclose(
+        info, [[25.0, 3.0], [3.0, 4.0]], rtol=1e-6
+    )
+    out = export_g2o(fg, str(tmp_path / "lm.g2o"))
+    text = open(out).read()
+    row = [l for l in text.splitlines() if l.startswith("LANDMARK")][0]
+    vals = [float(v) for v in row.split()[3:]]
+    np.testing.assert_allclose(vals, [0.3, 12.0, 25.0, 3.0, 4.0], rtol=1e-5)
+
+
+def test_save_load_tree_roundtrip(tmp_path):
+    """saveTree/loadTree analogue round-trip (MITDatasetBatch.jl:45)."""
+    from rome_tpu.canonical.generators import generate_graph_hexagonal
+    from rome_tpu.io.serialization import load_tree, save_tree
+    from rome_tpu.solvers.multimodal.tree import build_tree_from_ordering
+
+    fg = generate_graph_hexagonal()
+    tree = build_tree_from_ordering(fg)
+    p = save_tree(tree, str(tmp_path / "tree"))
+    tree2 = load_tree(p)
+    assert tree2.num_cliques == tree.num_cliques
+    assert tree2.order == tree.order
+    for a, b in zip(tree.cliques, tree2.cliques):
+        assert a.signature == b.signature
+        assert a.parent == b.parent
