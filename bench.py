@@ -3,15 +3,23 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (mirrors examples/ManhattanDatasetBatch.jl): load manhattan.g2o
-(5,453 EDGE_SE2, 3,500 poses), anchor prior at x0, chordal init, batched LM
-with matrix-free PCG, solve to convergence. Metric = poses/sec of the full
-solve (init + LM), steady-state (after one warmup for compile cache).
+(5,453 EDGE_SE2, 3,500 poses), anchor prior at x0, batched LM with the
+mixed-precision linear solver (f64-assembled normal equations, f32 MXU
+Cholesky preconditioner, f64 matrix-free CG), solved to convergence.
+Metric = poses/sec of the steady-state solve, VALID ONLY when the solve
+converges AND matches the float64 ground-truth optimum:
+ATE RMSE <= ATE_GATE_M and final cost within 0.1% of the reference optimum.
 
-Baseline: the reference publishes no numbers (BASELINE.md). The reference's
-parametric batch path (Julia IIF.solveGraphParametric!, single process) is
-estimated at ~100 s for Manhattan-3500 => 35 poses/s; that favourable-to-
-reference figure is the denominator for vs_baseline. The >=10x target of
-BASELINE.json therefore corresponds to vs_baseline >= 10.
+Baseline: the Julia reference publishes no numbers and is not runnable in
+this image (no julia binary). The denominator is therefore OUR OWN measured
+strong proxy: tools/cpu_reference.py — a float64 scipy sparse-Cholesky LM
+solver (the same algorithm class as GTSAM/g2o) run on this machine's CPU,
+recorded in data/manhattan_gt.npz (solve_time_s, final_cost, optimum).
+That proxy is far FASTER than the reference's MM-iSAM Julia stack, so
+vs_baseline here understates the advantage over the actual reference.
+
+Secondary rows (stderr detail): MIT.g2o batch, octagon.g2o, and the
+Pose2Pose2 linearization speed-of-light kernel (factor evals/s/chip).
 """
 
 from __future__ import annotations
@@ -23,8 +31,10 @@ import time
 
 import numpy as np
 
-BASELINE_POSES_PER_SEC = 35.0
 MANHATTAN = "/root/reference/examples/manhattan.g2o"
+MIT = "/root/reference/examples/MIT.g2o"
+OCTAGON = "/root/reference/test/octagon.g2o"
+ATE_GATE_M = 0.05
 
 
 def _build_graph(path):
@@ -39,99 +49,107 @@ def _build_graph(path):
     return fg
 
 
-def _synthetic_manhattan(n=3500, seed=0):
-    """Fallback workload if the reference dataset is unavailable: grid-walk
-    odometry with loop closures, same scale as M3500."""
-    from rome_tpu import FactorGraph, MvNormal, Pose2, Pose2Pose2, PriorPose2
-
-    rng = np.random.default_rng(seed)
-    fg = FactorGraph()
-    fg.params.graphinit = False
-    fg.add_variable("x0", Pose2)
-    fg.add_factor(["x0"], PriorPose2(MvNormal([0, 0, 0], [0.1, 0.1, 0.05])))
-    import jax.numpy as jnp
-
-    from rome_tpu.manifolds.base import SE2_
-
-    poses = [np.zeros(3)]
-    cov = np.diag([0.01, 0.01, 0.005])
-    for i in range(1, n):
-        turn = rng.choice([0.0, np.pi / 2, -np.pi / 2], p=[0.8, 0.1, 0.1])
-        z = np.array([1.0, 0.0, turn]) + rng.normal(0, [0.05, 0.05, 0.02])
-        fg.add_variable(f"x{i}", Pose2)
-        fg.add_factor([f"x{i-1}", f"x{i}"], Pose2Pose2(MvNormal(z, cov)))
-        poses.append(np.asarray(SE2_.compose(poses[-1], SE2_.exp(z))))
-    poses = np.stack(poses)
-    # loop closures between spatially close, temporally distant poses
-    n_lc = 0
-    for i in rng.permutation(n)[: n * 2]:
-        if n_lc >= n // 2:
-            break
-        d = np.linalg.norm(poses[:, :2] - poses[i, :2], axis=1)
-        cands = np.where((d < 2.0) & (np.abs(np.arange(n) - i) > 50))[0]
-        if len(cands):
-            j = int(cands[0])
-            z = np.asarray(SE2_.local(poses[i], poses[j]))
-            fg.add_factor([f"x{i}", f"x{j}"], Pose2Pose2(MvNormal(z, cov)))
-            n_lc += 1
-    fg.init_all()
-    return fg
+def _ate_rmse(fg, gt_file):
+    gt = np.load(gt_file)
+    poses = gt["poses"]
+    errs = []
+    for lbl in fg.ls(r"^x\d+$"):
+        i = int(lbl[1:])
+        est = fg.get_coords(lbl, "parametric")
+        errs.append(np.sum((est[:2] - poses[i][:2]) ** 2))
+    return float(np.sqrt(np.mean(errs)))
 
 
-def run_once(fg, opts):
+def _solve_dataset(path, gt_file, opts, warm=True):
     from rome_tpu import solve_graph_parametric
 
-    t0 = time.time()
-    res = solve_graph_parametric(fg, init=False, options=opts, chordal_init=True)
-    dt = time.time() - t0
-    return dt, res
+    fg = _build_graph(path)
+    kw = dict(init=False, options=opts, chordal_init=False, schedule="host")
+    t_warm0 = time.time()
+    res = solve_graph_parametric(fg, **kw)
+    t_warm = time.time() - t_warm0
+    if warm:
+        fg2 = _build_graph(path)
+        t0 = time.time()
+        res = solve_graph_parametric(fg2, **kw)
+        dt = time.time() - t0
+        fg = fg2
+    else:
+        dt = t_warm
+    gt = np.load(gt_file)
+    st = res["stats"]
+    ate = _ate_rmse(fg, gt_file)
+    ref_cost = float(gt["final_cost"])
+    matched = (
+        st.converged
+        and ate <= ATE_GATE_M
+        and st.final_cost <= ref_cost * 1.001 + 1e-6
+    )
+    n_poses = len(fg.ls(r"^x\d+$"))
+    return dict(
+        n_poses=n_poses,
+        n_factors=fg.num_factors,
+        solve_time_s=round(dt, 3),
+        warmup_time_s=round(t_warm, 3),
+        iterations=st.iterations,
+        converged=st.converged,
+        final_cost=st.final_cost,
+        ref_cost=ref_cost,
+        ate_rmse_m=round(ate, 5),
+        matched_ate=bool(matched),
+        poses_per_sec=round(n_poses / dt, 2),
+        baseline_cpu_solve_s=float(gt["solve_time_s"]),
+        baseline_cpu_poses_per_sec=round(n_poses / float(gt["solve_time_s"]), 2),
+    )
 
 
 def main():
     import jax
 
+    jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
     from rome_tpu import GNOptions
 
-    path = MANHATTAN if os.path.exists(MANHATTAN) else None
-    fg = _build_graph(path) if path else _synthetic_manhattan()
-    n_poses = len(fg.ls(r"^x\d+$"))
+    detail = {"device": str(jax.devices()[0])}
 
-    opts = GNOptions(
-        max_iters=30, linear="pcg", pcg_iters=250, pcg_tol=1e-7, lam0=1e-4,
-        ftol=1e-7,
+    opts_big = GNOptions(
+        max_iters=60, linear="mixed", lam0=1e-4, ftol=5e-9, mixed_cg_iters=50
     )
+    man = _solve_dataset(MANHATTAN, "data/manhattan_gt.npz", opts_big)
+    detail["manhattan3500"] = man
 
-    # warmup (compile)
-    dt_warm, res_warm = run_once(fg, opts)
-    # steady state
-    dt, res = run_once(fg, opts)
+    try:
+        mit = _solve_dataset(MIT, "data/mit_gt.npz", opts_big)
+        detail["mit"] = mit
+    except Exception as e:  # keep the flagship metric alive
+        detail["mit"] = {"error": repr(e)}
 
-    poses_per_sec = n_poses / dt
+    try:
+        opts_small = GNOptions(max_iters=50, linear="dense", lam0=1e-4, ftol=1e-10)
+        octa = _solve_dataset(OCTAGON, "data/octagon_gt.npz", opts_small)
+        detail["octagon"] = octa
+    except Exception as e:
+        detail["octagon"] = {"error": repr(e)}
+
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        import bench_kernels
+
+        detail["kernel_speed_of_light"] = bench_kernels.main(None)
+    except Exception as e:
+        detail["kernel_speed_of_light"] = {"error": repr(e)}
+
+    pps = man["poses_per_sec"] if man["matched_ate"] else 0.0
     out = {
-        "metric": "manhattan3500_parametric_poses_per_sec",
-        "value": round(poses_per_sec, 2),
+        "metric": "manhattan3500_parametric_poses_per_sec_at_matched_ate",
+        "value": pps,
         "unit": "poses/s",
-        "vs_baseline": round(poses_per_sec / BASELINE_POSES_PER_SEC, 2),
+        # measured denominator: our CPU f64 sparse-LM proxy (stronger than
+        # the Julia reference; see module docstring)
+        "vs_baseline": round(pps / man["baseline_cpu_poses_per_sec"], 3),
     }
     print(json.dumps(out))
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "n_poses": n_poses,
-                    "n_factors": fg.num_factors,
-                    "solve_time_s": round(dt, 3),
-                    "warmup_time_s": round(dt_warm, 3),
-                    "final_cost": res["stats"].final_cost,
-                    "iterations": res["stats"].iterations,
-                    "converged": res["stats"].converged,
-                    "device": str(jax.devices()[0]),
-                }
-            }
-        ),
-        file=sys.stderr,
-    )
+    print(json.dumps({"detail": detail}), file=sys.stderr)
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(0)  # skip slow TPU-tunnel teardown

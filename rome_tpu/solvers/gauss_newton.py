@@ -462,6 +462,64 @@ class ParametricSolver:
 
         return loop
 
+    # -- host-scheduled loop --------------------------------------------------
+    def solve_host(self, values=None, rt=None):
+        """LM with the Marquardt schedule on the host: one jitted STEP
+        (compiles in ~1/3 the time of the fused loop) + a Python loop that
+        pays one scalar sync per iteration. Right trade for batch solves
+        over a remote-tunnel device; the fused loop (:meth:`solve`) is for
+        latency-critical repeated solves."""
+        ga, opts = self.ga, self.opts
+        values = values or ga.values0
+        rt = rt if rt is not None else self._rt0
+        lam = jnp.asarray(opts.lam0, dtype=ga.dtype)
+        hist = []
+        cost_prev = float("inf")
+        n_rej = 0
+        code = 0
+        gnorm = float("nan")
+        for it in range(int(opts.max_iters)):
+            new_values, lam, c0, c1, gn, dn, ok = self._step(values, lam, rt)
+            c0, c1, gn, dn, okb = (
+                float(c0), float(c1), float(gn), float(dn), bool(ok),
+            )
+            gnorm = gn
+            hist.append(
+                dict(iter=it, cost0=c0, cost1=c1, gnorm=gn, dnorm=dn,
+                     accepted=okb, lam=float(lam))
+            )
+            if okb:
+                values = new_values
+                if gn < opts.gtol:
+                    code = 1
+                elif dn < opts.xtol:
+                    code = 2
+                elif abs(cost_prev - c1) <= opts.ftol * max(1.0, abs(cost_prev)):
+                    code = 3
+                cost_prev = c1
+                n_rej = 0
+            else:
+                n_rej += 1
+                if dn < (1e-4 if ga.dtype == jnp.float32 else 1e-9):
+                    code = 4
+                elif n_rej >= 8 or float(lam) >= opts.lam_max:
+                    code = 5
+            if code:
+                break
+        it_total = len(hist)
+        converged = code in (1, 2, 3, 4) or (code == 5 and n_rej >= 8 and it_total > 3)
+        final_cost = float(self._cost(values, rt))
+        stats = SolveStats(
+            iterations=it_total,
+            final_cost=final_cost,
+            gnorm=gnorm,
+            converged=bool(converged),
+            history=hist,
+            linear=self.linear,
+            reason=self._REASONS.get(code, "max_iters"),
+        )
+        return values, stats
+
     # -- outer loop ----------------------------------------------------------
     def solve(self, values=None, rt=None):
         """Run the fused LM solve. ``rt`` (linearize.runtime_state) carries

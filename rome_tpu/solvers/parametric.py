@@ -31,6 +31,7 @@ def solve_graph_parametric(
     dtype=None,
     chordal_init: bool = True,
     pad: bool = False,
+    schedule: str = "fused",
 ):
     """Batch nonlinear least-squares solve of the whole graph.
 
@@ -85,7 +86,8 @@ def solve_graph_parametric(
     # structure-cached solver: identical (padded) shapes reuse the compiled
     # LM program; the graph's data rides in as the traced runtime_state
     solver = ParametricSolver.cached(ga, opts)
-    values, stats = solver.solve(values0, rt=runtime_state(ga))
+    run = solver.solve if schedule == "fused" else solver.solve_host
+    values, stats = run(values0, rt=runtime_state(ga))
     dt = time.time() - t0
 
     write_back(fg, ga, values, solve_key)
