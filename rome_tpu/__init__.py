@@ -52,5 +52,6 @@ from rome_tpu.io import (
 )
 from rome_tpu.solvers.parametric import solve_graph_parametric, solveGraphParametric
 from rome_tpu.solvers.gauss_newton import GNOptions
+from rome_tpu.utils.compile_cache import enable as enable_compile_cache
 
 __version__ = "0.1.0"

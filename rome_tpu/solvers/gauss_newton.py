@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rome_tpu.graph.lower import GraphArrays
 from rome_tpu.solvers.linearize import (
@@ -494,7 +495,9 @@ class ParametricSolver:
                     code = 1
                 elif dn < opts.xtol:
                     code = 2
-                elif abs(cost_prev - c1) <= opts.ftol * max(1.0, abs(cost_prev)):
+                elif np.isfinite(cost_prev) and abs(cost_prev - c1) <= (
+                    opts.ftol * max(1.0, abs(cost_prev))
+                ):
                     code = 3
                 cost_prev = c1
                 n_rej = 0

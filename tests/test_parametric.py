@@ -149,3 +149,42 @@ def test_solvable_frozen_variable_stays_fixed():
         ),
         atol=1e-3,
     )
+
+
+@pytest.mark.parametrize("schedule", ["host", "fused"])
+def test_solve_host_matches_fused(schedule):
+    """The host-scheduled LM loop reaches the same square-fixture optimum
+    as the fused on-device loop."""
+    fg = _square_graph()
+    res = solve_graph_parametric(
+        fg, options=GNOptions(linear="dense"), schedule=schedule
+    )
+    assert res["stats"].converged
+    got = fg.get_coords("x4")
+    np.testing.assert_allclose(got[:2], [10, 10], atol=1e-3)
+
+
+def test_padded_lowering_matches_unpadded():
+    """lower(pad=True) buckets shapes with weight-0/free-0 rows; the solve
+    result must be identical to the unpadded solve."""
+    fg1, fg2 = _square_graph(), _square_graph()
+    r1 = solve_graph_parametric(fg1, options=GNOptions(linear="dense"))
+    r2 = solve_graph_parametric(fg2, options=GNOptions(linear="dense"), pad=True)
+    assert r2["stats"].converged
+    for lbl in fg1.ls():
+        np.testing.assert_allclose(
+            fg1.get_coords(lbl), fg2.get_coords(lbl), atol=1e-4
+        )
+
+
+def test_padded_shapes_bucketed():
+    from rome_tpu.graph.lower import bucket_size, lower
+
+    fg = _square_graph()
+    fg.init_all()
+    ga = lower(fg, pad=True)
+    assert ga.counts["Pose2"] == bucket_size(5)
+    for b in ga.batches:
+        n_real = len([l for l in b.labels if l])
+        assert b.n == bucket_size(n_real)
+        np.testing.assert_array_equal(np.asarray(b.weight[n_real:]), 0.0)

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _make_batch(n: int, seed: int = 0):
     import jax.numpy as jnp
 
-    from rome_tpu.factors.pose2 import POSE2_POSE2
+    from rome_tpu.factors.pose2 import POSE2POSE2
     from rome_tpu.graph.lower import FactorBatch
 
     rng = np.random.default_rng(seed)
@@ -33,7 +33,7 @@ def _make_batch(n: int, seed: int = 0):
         [np.arange(n, dtype=np.int32), (np.arange(n, dtype=np.int32) + 1)], axis=1
     )
     return FactorBatch(
-        ftype=POSE2_POSE2,
+        ftype=POSE2POSE2,
         n=n,
         vtypes=("Pose2", "Pose2"),
         vslots=jnp.asarray(vslots),
