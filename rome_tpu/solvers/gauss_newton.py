@@ -481,8 +481,11 @@ class ParametricSolver:
         gnorm = float("nan")
         for it in range(int(opts.max_iters)):
             new_values, lam, c0, c1, gn, dn, ok = self._step(values, lam, rt)
+            # ONE device_get for all step scalars — five separate float()
+            # fetches cost five round-trips over a tunneled TPU
+            c0, c1, gn, dn, okb = jax.device_get((c0, c1, gn, dn, ok))
             c0, c1, gn, dn, okb = (
-                float(c0), float(c1), float(gn), float(dn), bool(ok),
+                float(c0), float(c1), float(gn), float(dn), bool(okb),
             )
             gnorm = gn
             hist.append(

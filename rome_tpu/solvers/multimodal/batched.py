@@ -263,53 +263,66 @@ def _make_messages_fn(bp: BeliefPropagator):
 
 def _masked_gibbs(man, K, N, gibbs_sweeps):
     """Product of up to K kernel densities (msgs (K, N, pdim), mask (K,)) —
-    the prodAppxMSGibbsS analogue with static shapes, vmapped per variable."""
+    the prodAppxMSGibbsS analogue with static shapes, vmapped per variable.
+
+    The Gibbs label sweep is a lax.fori_loop over the flattened
+    (sweep, density) index with stacked-array state, so the compiled program
+    size is O(1) in K — a high-degree landmark (K ~ 20+) would otherwise
+    unroll O(sweeps*K^2) blocks and blow up XLA/LLVM compile memory."""
 
     def product(key, msgs, mask):
         bw = jax.vmap(lambda p: silverman_bandwidth(man, p))(msgs)  # (K, dof)
         bw = jnp.maximum(bw, 1e-5)
         lam = mask[:, None] / (bw * bw)  # (K, dof) masked precisions
 
-        keys = jax.random.split(key, K * gibbs_sweeps + K + 2)
-        labels = [
-            jax.random.randint(keys[j], (N,), 0, N) for j in range(K)
-        ]
+        k_init, k_sweep, k_out = jax.random.split(key, 3)
+        labels = jax.random.randint(k_init, (K, N), 0, N)
 
-        def estimate(sel, exclude):
-            inc = mask if exclude is None else mask.at[exclude].set(0.0)
-            ref_k = 0 if exclude != 0 else min(1, K - 1)
-            ref = sel[ref_k]
-            num = jnp.zeros((N, man.dof), dtype=msgs.dtype)
-            den = jnp.zeros((man.dof,), dtype=msgs.dtype)
-            for j in range(K):
-                c = man.local(ref, sel[j])
-                num = num + inc[j] * lam[j] * c
-                den = den + inc[j] * lam[j]
-            den_s = jnp.maximum(den, 1e-12)
-            return ref, num / den_s, den
+        def selected(labels):
+            # (K, N, pdim): each density's chosen kernel per output particle
+            return jnp.take_along_axis(msgs, labels[:, :, None], axis=1)
 
-        ki = K
-        for s in range(gibbs_sweeps):
-            for j in range(K):
-                if K == 1:
-                    break
-                sel = [msgs[k][labels[k]] for k in range(K)]
-                ref, mu_c, prec = estimate(sel, exclude=j)
-                var = 1.0 / jnp.maximum(prec, 1e-12) + bw[j] * bw[j]
+        def estimate(sel, inc):
+            """Precision-weighted tangent mean of the included selections,
+            linearized at the first included density's selection."""
+            ref_k = jnp.argmax(inc)  # first included (mask row 0 is real)
+            ref = sel[ref_k]  # (N, pdim)
+            c = man.local(jnp.broadcast_to(ref, sel.shape), sel)  # (K, N, dof)
+            w = (inc[:, None] * lam)[:, None, :]  # (K, 1, dof)
+            num = jnp.sum(w * c, axis=0)  # (N, dof)
+            den = jnp.sum(inc[:, None] * lam, axis=0)  # (dof,)
+            return ref, num / jnp.maximum(den, 1e-12), den
 
-                def coords_for(ref_k, pts=msgs[j]):
-                    return man.local(jnp.broadcast_to(ref_k, pts.shape), pts)
+        def body(i, labels):
+            j = i % K
+            sel = selected(labels)
+            inc = mask.at[j].set(0.0)
+            # exclude j from the ref choice too: argmax(inc) skips it
+            ref, mu_c, prec = estimate(sel, inc)
+            var = 1.0 / jnp.maximum(prec, 1e-12) + bw[j] * bw[j]
+            pts_j = msgs[j]  # (N, pdim)
 
-                C = jax.vmap(coords_for)(ref)              # (N, Nj, dof)
-                d2 = (C - mu_c[:, None, :]) ** 2 / var      # (N, Nj, dof)
-                logw = -0.5 * jnp.sum(d2, axis=-1)
-                labels[j] = jax.random.categorical(keys[ki], logw, axis=-1)
-                ki += 1
+            def coords_for(ref_i):
+                return man.local(jnp.broadcast_to(ref_i, pts_j.shape), pts_j)
 
-        sel = [msgs[k][labels[k]] for k in range(K)]
-        ref, mu_c, prec = estimate(sel, exclude=None)
+            C = jax.vmap(coords_for)(ref)            # (N, Nj, dof)
+            d2 = (C - mu_c[:, None, :]) ** 2 / var   # (N, Nj, dof)
+            logw = -0.5 * jnp.sum(d2, axis=-1)
+            new_j = jax.random.categorical(
+                jax.random.fold_in(k_sweep, i), logw, axis=-1
+            )
+            # keep padded densities' labels untouched (they're unused)
+            return labels.at[j].set(
+                jnp.where(mask[j] > 0, new_j, labels[j])
+            )
+
+        if K > 1:
+            labels = jax.lax.fori_loop(0, gibbs_sweeps * K, body, labels)
+
+        sel = selected(labels)
+        ref, mu_c, prec = estimate(sel, mask)
         std = jnp.sqrt(1.0 / jnp.maximum(prec, 1e-12))
-        eps = jax.random.normal(keys[-1], mu_c.shape, dtype=msgs.dtype) * std
+        eps = jax.random.normal(k_out, mu_c.shape, dtype=msgs.dtype) * std
         return man.normalize(man.boxplus(ref, mu_c + eps))
 
     return product
