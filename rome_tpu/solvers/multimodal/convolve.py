@@ -74,6 +74,34 @@ def _gn_solve_target(ftype, slot, mans, z, params_row, other_pts, x0, iters=10, 
     return jax.lax.fori_loop(0, iters, body, x0)
 
 
+_CONV_CACHE: dict = {}
+
+
+def _cached_conv(ftype, slot: int, mans: tuple, N: int):
+    """Jitted per-particle convolution kernel, cached per
+    (factor type, target slot, N). Params/measurements/points ride as traced
+    arguments so every instance of the type shares one compiled program —
+    without this, graph init re-traced an eager vmap per factor per call."""
+    key = (ftype.name, slot, N)
+    fn = _CONV_CACHE.get(key)
+    if fn is None:
+        init_fn = ftype.initializers.get(slot)
+
+        def one(params_row, z_i, x0_i, other_i):
+            p = dict(params_row)
+            p["z"] = z_i
+            x_init = init_fn(p, list(other_i)) if init_fn is not None else x0_i
+            return _gn_solve_target(
+                ftype, slot, list(mans), z_i, params_row, list(other_i), x_init
+            )
+
+        fn = jax.jit(
+            jax.vmap(one, in_axes=(None, 0, 0, 0))
+        )
+        _CONV_CACHE[key] = fn
+    return fn
+
+
 def approx_conv(
     fg: FactorGraph,
     factor_label: str,
@@ -147,7 +175,7 @@ def approx_conv(
     }
     params_row["z"] = jnp.asarray(f.params["z"])
 
-    def solve_one(z_i, x0_i, *other):
+    def solve_one(z_i, x0_i, *other, params_row=params_row):
         init_fn = f.ftype.initializers.get(slot)
         p = dict(params_row)
         p["z"] = z_i
@@ -159,7 +187,14 @@ def approx_conv(
             f.ftype, slot, mans, z_i, params_row, list(other), x_init
         )
 
-    if assoc is not None and var_idx < arity - 1:
+    if assoc is None:
+        # hot path (graph init + per-factor fallback messages): one CACHED
+        # jitted vmap per (factor type, slot, N) — params/z/points are traced
+        # arguments, so every factor of the type reuses the compiled kernel
+        solved = _cached_conv(f.ftype, slot, tuple(mans), N)(
+            params_row, z, x0_infl, tuple(pts[:arity])
+        )
+    elif assoc is not None and var_idx < arity - 1:
         # target is a certain slot: per particle substitute the associated
         # candidate variable's particles into the last residual slot
         cand_idx, draw = assoc
@@ -177,8 +212,6 @@ def approx_conv(
         solved = jax.vmap(solve_one)(z, x0_infl, *pts_res)
         mask = (draw == my_idx)[:, None]
         solved = jnp.where(mask, solved, x0_infl)
-    else:
-        solved = jax.vmap(solve_one)(z, x0_infl, *pts[:arity])
 
     # nullhypo: particle ignores the factor with probability eta
     if f.nullhypo and f.nullhypo > 0.0:
