@@ -175,18 +175,6 @@ def approx_conv(
     }
     params_row["z"] = jnp.asarray(f.params["z"])
 
-    def solve_one(z_i, x0_i, *other, params_row=params_row):
-        init_fn = f.ftype.initializers.get(slot)
-        p = dict(params_row)
-        p["z"] = z_i
-        if init_fn is not None:
-            x_init = init_fn(p, list(other))
-        else:
-            x_init = x0_i
-        return _gn_solve_target(
-            f.ftype, slot, mans, z_i, params_row, list(other), x_init
-        )
-
     if assoc is None:
         # hot path (graph init + per-factor fallback messages): one CACHED
         # jitted vmap per (factor type, slot, N) — params/z/points are traced
@@ -194,22 +182,26 @@ def approx_conv(
         solved = _cached_conv(f.ftype, slot, tuple(mans), N)(
             params_row, z, x0_infl, tuple(pts[:arity])
         )
-    elif assoc is not None and var_idx < arity - 1:
+    elif var_idx < arity - 1:
         # target is a certain slot: per particle substitute the associated
         # candidate variable's particles into the last residual slot
         cand_idx, draw = assoc
         cand = jnp.stack([pts[u] for u in cand_idx])  # (K, N, pdim)
         onesl = jnp.ones((1, N, cand.shape[-1]), dtype=jnp.int32)
         chosen = jnp.take_along_axis(cand, draw[None, :, None] * onesl, axis=0)[0]
-        pts_res = list(pts[: arity - 1]) + [chosen]
-        solved = jax.vmap(solve_one)(z, x0_infl, *pts_res)
-    elif assoc is not None:
+        pts_res = tuple(pts[: arity - 1]) + (chosen,)
+        solved = _cached_conv(f.ftype, slot, tuple(mans), N)(
+            params_row, z, x0_infl, pts_res
+        )
+    else:
         # target is a candidate: only its associated particles update; the
         # rest keep inflated prior samples
         cand_idx, draw = assoc
         my_idx = cand_idx.index(var_idx)
-        pts_res = list(pts[: arity - 1]) + [pts[var_idx]]
-        solved = jax.vmap(solve_one)(z, x0_infl, *pts_res)
+        pts_res = tuple(pts[: arity - 1]) + (pts[var_idx],)
+        solved = _cached_conv(f.ftype, slot, tuple(mans), N)(
+            params_row, z, x0_infl, pts_res
+        )
         mask = (draw == my_idx)[:, None]
         solved = jnp.where(mask, solved, x0_infl)
 

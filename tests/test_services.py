@@ -198,3 +198,30 @@ def test_save_load_tree_roundtrip(tmp_path):
     for a, b in zip(tree.cliques, tree2.cliques):
         assert a.signature == b.signature
         assert a.parent == b.parent
+
+
+def test_phase_timer_and_trace(tmp_path):
+    """Profiling hooks: per-phase timer rows + a device trace capture."""
+    import jax.numpy as jnp
+
+    from rome_tpu.utils.profiling import PhaseTimer, annotate, trace
+
+    pt = PhaseTimer()
+    with pt.phase("linearize"):
+        pass
+    with pt.phase("linearize"):
+        pass
+    with pt.phase("solve"):
+        pass
+    rows = pt.rows()
+    assert {r["phase"] for r in rows} == {"linearize", "solve"}
+    assert rows[0]["calls"] == 2
+    assert "linearize," in pt.report()
+
+    with trace(str(tmp_path / "tr")):
+        with annotate("square"):
+            x = jnp.ones((8, 8))
+            (x @ x).block_until_ready()
+    import os
+
+    assert any(os.scandir(str(tmp_path / "tr")))
