@@ -25,10 +25,38 @@ import numpy as np
 from rome_tpu.manifolds.base import Manifold
 
 
+# Jitted-kernel cache keyed by (manifold identity, static config). Manifold
+# instances are per-variable-type singletons, so id() is a stable key. The
+# eager fori_loop versions re-traced AND re-compiled a throwaway scan per
+# call — graph init on a 100-pose beehive spent 35 s in XLA compiles on them.
+_KDE_JIT_CACHE: dict = {}
+
+
+def _cached_kernel(man: Manifold, name: str, build):
+    key = (id(man), name)
+    fn = _KDE_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(build(man))
+        _KDE_JIT_CACHE[key] = fn
+    return fn
+
+
 def silverman_bandwidth(man: Manifold, points) -> jnp.ndarray:
-    """Per-dof rule-of-thumb bandwidth from tangent spread about the mean."""
+    """Per-dof rule-of-thumb bandwidth from tangent spread about the mean.
+
+    Traceable (pure jnp); when called eagerly it dispatches through a cached
+    jit so repeated per-factor calls share one compiled program.
+    """
+    if isinstance(points, jax.core.Tracer):
+        return _silverman_impl(man, points)
+    return _cached_kernel(
+        man, "silverman", lambda m: lambda p: _silverman_impl(m, p)
+    )(points)
+
+
+def _silverman_impl(man: Manifold, points) -> jnp.ndarray:
     n = points.shape[0]
-    mu = manifold_mean(man, points)
+    mu = _mean_impl(man, points, 3)
     loc = man.local(mu[None, :], points)  # (N, dof)
     std = jnp.std(loc, axis=0) + 1e-6
     return std * (4.0 / (loc.shape[-1] + 2.0) / max(n, 2)) ** (1.0 / (loc.shape[-1] + 4.0))
@@ -36,6 +64,14 @@ def silverman_bandwidth(man: Manifold, points) -> jnp.ndarray:
 
 def manifold_mean(man: Manifold, points, iters: int = 3) -> jnp.ndarray:
     """Karcher-style mean: iterate mu <- mu ⊕ mean(local(mu, p))."""
+    if isinstance(points, jax.core.Tracer):
+        return _mean_impl(man, points, iters)
+    return _cached_kernel(
+        man, ("mean", iters), lambda m: lambda p: _mean_impl(m, p, iters)
+    )(points)
+
+
+def _mean_impl(man: Manifold, points, iters: int) -> jnp.ndarray:
     mu = points[0]
 
     def body(_, mu):
