@@ -67,7 +67,11 @@ def _solve_dataset(path, gt_file, opts, warm=True):
     from rome_tpu import solve_graph_parametric
 
     fg = _build_graph(path)
-    kw = dict(init=False, options=opts, chordal_init=False, schedule="fused")
+    # chordal (rotation-first) init + lazy-precond mixed LM: the TPU-native
+    # solve strategy. The CPU baseline keeps its own best strategy
+    # (spanning-tree init + sparse direct LM) — comparison is same problem,
+    # same accuracy gate, each solver's best configuration.
+    kw = dict(init=False, options=opts, chordal_init=True, schedule="fused")
     t_warm0 = time.time()
     res = solve_graph_parametric(fg, **kw)
     t_warm = time.time() - t_warm0

@@ -50,7 +50,10 @@ def _tscale(alpha, x):
 # ----------------------------- PCG -----------------------------------------
 
 def pcg(hvp, b, precond, tol, maxiter, dtype=jnp.float32):
-    """Solve H x = b with preconditioned conjugate gradients (pytree state)."""
+    """Solve H x = b with preconditioned conjugate gradients (pytree state).
+
+    Returns ``(x, iters)`` — the iteration count feeds the mixed solver's
+    lazy-preconditioner refresh heuristic (hit the cap => refactorize)."""
     x0 = {t: jnp.zeros_like(b[t]) for t in b}
     r0 = b
     z0 = precond(r0)
@@ -75,8 +78,8 @@ def pcg(hvp, b, precond, tol, maxiter, dtype=jnp.float32):
         return (x, r, z, p, rz_new, k + 1)
 
     state = (x0, r0, z0, r0 if False else z0, rz0, jnp.zeros((), jnp.int32))
-    x, r, *_ = jax.lax.while_loop(cond, body, state)
-    return x
+    x, r, _z, _p, _rz, k = jax.lax.while_loop(cond, body, state)
+    return x, k
 
 
 # ----------------------------- options -------------------------------------
@@ -163,7 +166,9 @@ class ParametricSolver:
                 out[t] = man.normalize(man.boxplus(values[t], d))
             return out
 
-        def solve_dense(lins, lam, rt):
+        pstate_empty = {}
+
+        def solve_dense(lins, lam, rt, pstate):
             """Damped-normal-equations solve: f64 assembly, Jacobi scaling,
             f32 Cholesky on the MXU, f64 iterative refinement.
 
@@ -207,9 +212,9 @@ class ParametricSolver:
                 rn = jnp.linalg.norm(bs - Hs @ y)
                 y = jnp.where(rn < rn_best, y, y_best)
             x = ((y * d) * free_vector(ga, rt).astype(hdt)).astype(ga.dtype)
-            return unflatten_tangent(ga, x), g.astype(ga.dtype)
+            return unflatten_tangent(ga, x), g.astype(ga.dtype), pstate_empty
 
-        def solve_pcg(lins, lam, rt):
+        def solve_pcg(lins, lam, rt, pstate):
             free = rt["free"]
             gvec = gradient_from_lins(ga, lins, rt)
             D = block_diag_from_lins(ga, lins)
@@ -243,16 +248,20 @@ class ParametricSolver:
                 }
 
             b = {t: -gvec[t] for t in gvec}
-            x = pcg(hvp, b, precond, opts.pcg_tol, opts.pcg_iters, ga.dtype)
-            return x, gvec
+            x, _k = pcg(hvp, b, precond, opts.pcg_tol, opts.pcg_iters, ga.dtype)
+            return x, gvec, pstate_empty
 
-        def solve_mixed(lins, lam, rt):
+        def solve_mixed(lins, lam, rt, pstate):
             """The flagship large-graph solver: exact f64 Gauss-Newton steps
             at f32 factorization cost.
 
             - preconditioner: damped Jacobi-scaled H assembled in f32, ONE
               dense Cholesky on the MXU (+1e-6 floor on the unit diagonal so
-              f32 pivots never go negative);
+              f32 pivots never go negative) — REFRESHED LAZILY: the O(n^3)
+              factor+inverse is reused across LM iterations and rebuilt only
+              when the previous CG hit its iteration cap without reaching
+              tol (the stale signal). H changes slowly along the LM path, so
+              most iterations skip the n^3 work entirely;
             - system: the TRUE damped normal equations in f64, matrix-free —
               Hvp as sparse gather/einsum/scatter over the factor batches
               (O(nnz), ~ms) instead of an O(n^2) dense f64 matvec;
@@ -261,34 +270,42 @@ class ParametricSolver:
               eps32*cond(H_damped) > 1 near convergence (lam -> 0).
             """
             f64 = jnp.float64
-            # ---- f32 preconditioner ----
-            H32, _g32 = dense_normal_eqs(ga, lins, dtype=ga.dtype, rt=rt)
-            diag32 = jnp.maximum(jnp.diag(H32), 1e-8)
-            Hd32 = H32 + lam * jnp.diag(diag32)
-            dvec = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(Hd32), 1e-12))
-            Hs32 = Hd32 * dvec[:, None] * dvec[None, :]
-            Hs32 = Hs32 + 1e-6 * jnp.eye(Hs32.shape[0], dtype=ga.dtype)
-            L, lower = jax.scipy.linalg.cho_factor(Hs32, lower=True)
-            # explicit inverse: sequential triangular solves inside the CG
-            # loop are the latency killer on TPU (~20 ms x 2 x iters); one
-            # O(n^3) inversion makes every apply a ~1 ms MXU matvec.
-            # (cho_solve against a full identity OOMs — XLA materializes
-            # ~30 panel temporaries — so invert the factor in column blocks
-            # under lax.map and form Minv = Linv^T Linv.)
-            nD = Hs32.shape[0]
-            blk = 1024
-            npad = (-nD) % blk
-            eyeP = jnp.eye(nD + npad, dtype=ga.dtype)[: nD + npad, :nD]
-            cols = eyeP.reshape(-1, blk, nD)  # (nblk, blk, n) one-hot rows
 
-            def solve_block(c):
-                # x @ L = c  ->  x = c L^-1 (rows of L^-1 selected by c)
-                return jax.lax.linalg.triangular_solve(
-                    L, c, left_side=False, lower=True, transpose_a=False
-                )
+            def refresh(_):
+                H32, _g32 = dense_normal_eqs(ga, lins, dtype=ga.dtype, rt=rt)
+                diag32 = jnp.maximum(jnp.diag(H32), 1e-8)
+                Hd32 = H32 + lam * jnp.diag(diag32)
+                dvec = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(Hd32), 1e-12))
+                Hs32 = Hd32 * dvec[:, None] * dvec[None, :]
+                Hs32 = Hs32 + 1e-6 * jnp.eye(Hs32.shape[0], dtype=ga.dtype)
+                L, _lower = jax.scipy.linalg.cho_factor(Hs32, lower=True)
+                # explicit inverse: sequential triangular solves inside the
+                # CG loop are the latency killer on TPU (~20 ms x 2 x iters);
+                # one O(n^3) inversion makes every apply a ~1 ms MXU matvec.
+                # (cho_solve against a full identity OOMs — XLA materializes
+                # ~30 panel temporaries — so invert the factor in column
+                # blocks under lax.map and form Minv = Linv^T Linv.)
+                nD = Hs32.shape[0]
+                blk = 1024
+                npad = (-nD) % blk
+                eyeP = jnp.eye(nD + npad, dtype=ga.dtype)[: nD + npad, :nD]
+                cols = eyeP.reshape(-1, blk, nD)  # (nblk, blk, n) one-hot
 
-            Linv_rows = jax.lax.map(solve_block, cols)  # rows of L^-1
-            Linv = Linv_rows.reshape(nD + npad, nD)[:nD]
+                def solve_block(c):
+                    # x @ L = c  ->  x = c L^-1 (rows of L^-1 selected by c)
+                    return jax.lax.linalg.triangular_solve(
+                        L, c, left_side=False, lower=True, transpose_a=False
+                    )
+
+                Linv_rows = jax.lax.map(solve_block, cols)  # rows of L^-1
+                return Linv_rows.reshape(nD + npad, nD)[:nD], dvec
+
+            Linv, dvec = jax.lax.cond(
+                pstate["stale"],
+                refresh,
+                lambda _: (pstate["Linv"], pstate["dvec"]),
+                None,
+            )
             fvec = free_vector(ga, rt)
 
             def precond(r):
@@ -321,9 +338,15 @@ class ParametricSolver:
                 return out
 
             b = {t: -g64[t] for t in g64}
-            x = pcg(hvp, b, precond, 1e-8, opts.mixed_cg_iters, f64)
+            x, k = pcg(hvp, b, precond, 1e-8, opts.mixed_cg_iters, f64)
             delta = {t: x[t].astype(ga.dtype) for t in x}
-            return delta, {t: g64[t].astype(ga.dtype) for t in g64}
+            new_pstate = {
+                "Linv": Linv,
+                "dvec": dvec,
+                # cap-hit => the reused factor no longer preconditions well
+                "stale": k >= opts.mixed_cg_iters,
+            }
+            return delta, {t: g64[t].astype(ga.dtype) for t in g64}, new_pstate
 
         linear_solve = {
             "dense": solve_dense,
@@ -331,10 +354,12 @@ class ParametricSolver:
             "mixed": solve_mixed,
         }[self.linear]
 
-        def step(values, lam, rt):
+        def step(values, lam, rt, pstate=None):
+            if pstate is None:
+                pstate = self._pstate0()
             lins = linearize_all(ga, values, rt)
             cost0 = sum(0.5 * jnp.sum(r0 * r0) for _b, r0, _J, _v in lins)
-            delta, g = linear_solve(lins, lam, rt)
+            delta, g, new_pstate = linear_solve(lins, lam, rt, pstate)
             if isinstance(g, dict):
                 gvec = g
             else:
@@ -362,9 +387,24 @@ class ParametricSolver:
                 grow,
                 jnp.where(rho < 0.25, grow, jnp.where(rho > 0.7, shrink, lam)),
             )
-            return new_values, new_lam, cost0, cost1, gnorm, dnorm, ok
+            return new_values, new_lam, cost0, cost1, gnorm, dnorm, ok, new_pstate
 
         return step
+
+    def _pstate0(self):
+        """Initial lazy-preconditioner state (mixed solver): stale=True
+        forces a factorization on the first iteration; the zero buffers are
+        placeholders XLA never reads on the refresh branch."""
+        if self.linear != "mixed":
+            return {}
+        from rome_tpu.solvers.linearize import tangent_offsets
+
+        _base, nD = tangent_offsets(self.ga)
+        return {
+            "Linv": jnp.zeros((nD, nD), dtype=self.ga.dtype),
+            "dvec": jnp.ones((nD,), dtype=self.ga.dtype),
+            "stale": jnp.asarray(True),
+        }
 
     # -- fused on-device outer loop ------------------------------------------
     # Reason codes for the while_loop convergence logic (0 = still running)
@@ -392,13 +432,13 @@ class ParametricSolver:
             hist0 = jnp.zeros((max_iters, 6), dtype=jnp.float32)
 
             def cond(state):
-                _v, _lam, it, _cp, _nr, code, _g, _h = state
+                _v, _lam, it, _cp, _nr, code, _g, _h, _ps = state
                 return jnp.logical_and(it < max_iters, code == 0)
 
             def body(state):
-                values, lam, it, cost_prev, n_rej, code, _g, hist = state
-                new_values, new_lam, cost0, cost1, gnorm, dnorm, ok = step(
-                    values, lam, rt
+                values, lam, it, cost_prev, n_rej, code, _g, hist, pstate = state
+                new_values, new_lam, cost0, cost1, gnorm, dnorm, ok, pstate = step(
+                    values, lam, rt, pstate
                 )
                 hist = hist.at[it].set(
                     jnp.stack(
@@ -443,6 +483,7 @@ class ParametricSolver:
                     new_code,
                     gnorm,
                     hist,
+                    pstate,
                 )
 
             init = (
@@ -454,8 +495,9 @@ class ParametricSolver:
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), dtype=ga.dtype),
                 hist0,
+                self._pstate0(),
             )
-            values, lam, it, _cp, n_rej, code, gnorm, hist = jax.lax.while_loop(
+            values, lam, it, _cp, n_rej, code, gnorm, hist, _ps = jax.lax.while_loop(
                 cond, body, init
             )
             final_cost = cost_at(ga, values, rt)
@@ -479,8 +521,11 @@ class ParametricSolver:
         n_rej = 0
         code = 0
         gnorm = float("nan")
+        pstate = self._pstate0()
         for it in range(int(opts.max_iters)):
-            new_values, lam, c0, c1, gn, dn, ok = self._step(values, lam, rt)
+            new_values, lam, c0, c1, gn, dn, ok, pstate = self._step(
+                values, lam, rt, pstate
+            )
             # ONE device_get for all step scalars — five separate float()
             # fetches cost five round-trips over a tunneled TPU
             c0, c1, gn, dn, okb = jax.device_get((c0, c1, gn, dn, ok))
