@@ -52,8 +52,10 @@ def _tscale(alpha, x):
 def pcg(hvp, b, precond, tol, maxiter, dtype=jnp.float32):
     """Solve H x = b with preconditioned conjugate gradients (pytree state).
 
-    Returns ``(x, iters)`` — the iteration count feeds the mixed solver's
-    lazy-preconditioner refresh heuristic (hit the cap => refactorize)."""
+    Returns ``(x, iters, converged)`` — ``converged`` is the explicit
+    residual test (|r| <= tol*|b|), which feeds both the mixed solver's
+    lazy-preconditioner refresh (not converged => refactorize) and the LM
+    loop's convergence gating (a truncated step must not fire ftol/xtol)."""
     x0 = {t: jnp.zeros_like(b[t]) for t in b}
     r0 = b
     z0 = precond(r0)
@@ -79,7 +81,8 @@ def pcg(hvp, b, precond, tol, maxiter, dtype=jnp.float32):
 
     state = (x0, r0, z0, r0 if False else z0, rz0, jnp.zeros((), jnp.int32))
     x, r, _z, _p, _rz, k = jax.lax.while_loop(cond, body, state)
-    return x, k
+    converged = jnp.sqrt(_tdot(r, r)) <= tol * bnorm
+    return x, k, converged
 
 
 # ----------------------------- options -------------------------------------
@@ -95,12 +98,14 @@ class GNOptions:
     gtol: float = 1e-8
     ftol: float = 1e-10
     xtol: float = 1e-10
-    linear: str = "auto"          # "dense" | "pcg" | "mixed" | "auto"
+    linear: str = "auto"          # "dense" | "dense32" | "pcg" | "mixed" | "auto"
     dense_threshold: int = 3000   # total dof below which dense Cholesky wins
     pcg_iters: int = 250
     pcg_tol: float = 1e-8
     ir_rounds: int = 2            # f64 iterative-refinement rounds (dense)
     mixed_cg_iters: int = 50      # f64 CG iterations (mixed)
+    polish_tol: float = 1e-4      # dense32 f64-CG relative residual tol
+    polish_iters: int = 25        # dense32 f64-CG iteration cap
     verbose: bool = False
 
 
@@ -123,10 +128,11 @@ class ParametricSolver:
         if linear == "auto":
             if ga.total_dof <= self.opts.dense_threshold:
                 linear = "dense"
-            elif bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32:
-                linear = "mixed"
             else:
-                linear = "pcg"
+                # dense32: f32 MXU Cholesky + matrix-free f64 polish — beats
+                # the old "mixed" lazy-preconditioner scheme (no dense f64
+                # ops at all; f64 emulation only touches O(nnz) work)
+                linear = "dense32"
         self.linear = linear
         # f64 view of the structure for the mixed solver's exact system
         import copy
@@ -212,7 +218,12 @@ class ParametricSolver:
                 rn = jnp.linalg.norm(bs - Hs @ y)
                 y = jnp.where(rn < rn_best, y, y_best)
             x = ((y * d) * free_vector(ga, rt).astype(hdt)).astype(ga.dtype)
-            return unflatten_tangent(ga, x), g.astype(ga.dtype), pstate_empty
+            return (
+                unflatten_tangent(ga, x),
+                g.astype(ga.dtype),
+                pstate_empty,
+                jnp.asarray(True),
+            )
 
         def solve_pcg(lins, lam, rt, pstate):
             free = rt["free"]
@@ -248,8 +259,117 @@ class ParametricSolver:
                 }
 
             b = {t: -gvec[t] for t in gvec}
-            x, _k = pcg(hvp, b, precond, opts.pcg_tol, opts.pcg_iters, ga.dtype)
-            return x, gvec, pstate_empty
+            x, _k, cg_ok = pcg(
+                hvp, b, precond, opts.pcg_tol, opts.pcg_iters, ga.dtype
+            )
+            return x, gvec, pstate_empty, cg_ok
+
+        def solve_dense32(lins, lam, rt, pstate):
+            """The flagship large-graph solver (round 3): f32 dense normal
+            equations + ONE f32 MXU Cholesky per iteration + short
+            matrix-free f64 CG polish.
+
+            Design from measured M3500 costs on the chip: f32 assembly
+            ~20 ms, f32 cho_factor ~20 ms, trisolve pair ~3 ms — while ANY
+            dense f64 op is ~70 ms (f64 is emulated at ~3 GFLOP/s). So f64
+            arithmetic is allowed to touch only O(nnz) quantities: the CG
+            matvec is computed matrix-free through the factor batches
+            (gradient_from_lins/hvp_from_lins on f64-cast lins, ~2 ms/
+            apply), and the preconditioner reuses the fresh f32 factor
+            (one trisolve pair/apply). A fresh exact-in-f32 preconditioner
+            puts CG at a handful of iterations to polish_tol. Replaces the
+            round-2 "mixed" scheme (lazy O(n^3) explicit inverse +
+            50-iteration f64 CG — measured 187 ms/refresh, 53 ms/step)."""
+            _X64 = bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32
+            f64 = jnp.float64
+            H, _g32 = dense_normal_eqs(ga, lins, dtype=ga.dtype, rt=rt)
+            diag = jnp.maximum(jnp.diag(H), 1e-8)
+            Hd = H + lam * jnp.diag(diag)
+            d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(Hd), 1e-12))
+            Hs = Hd * d[:, None] * d[None, :]
+            Hs = Hs + 2e-6 * jnp.eye(Hs.shape[0], dtype=ga.dtype)
+            L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
+            fvec = free_vector(ga, rt)
+
+            def minv(r):
+                # r (unscaled residual, f64) -> approx Hd^-1 r via the f32
+                # scaled factor; two triangular solves on the MXU
+                y = jax.scipy.linalg.cho_solve(
+                    (L, lower), (r.astype(ga.dtype) * d)
+                )
+                return (y * d).astype(r.dtype) * fvec.astype(r.dtype)
+
+            if not _X64:
+                gvec = gradient_from_lins(ga, lins, rt)
+                b = -flatten_tangent(ga, gvec)
+                x = minv(b)
+                return (
+                    unflatten_tangent(ga, x.astype(ga.dtype)),
+                    gvec,
+                    pstate_empty,
+                    jnp.asarray(True),
+                )
+
+            lins64 = [
+                (b_, r0.astype(f64), tuple(J.astype(f64) for J in Js), vs)
+                for b_, r0, Js, vs in lins
+            ]
+            ga64 = self._ga64
+            rt64 = jax.tree_util.tree_map(
+                lambda x: x.astype(f64) if x.dtype == ga.dtype else x, rt
+            )
+            g64 = gradient_from_lins(ga64, lins64, rt64)
+            diag64 = diag.astype(f64)
+            lam64 = lam.astype(f64)
+            free64 = fvec.astype(f64)
+
+            def h64(x):
+                v = unflatten_tangent(ga, x)
+                out = hvp_from_lins(ga64, lins64, v, rt64)
+                return (
+                    flatten_tangent(ga, out) + lam64 * diag64 * x
+                ) * free64
+
+            # f64 CG on the true damped system, preconditioned by the f32
+            # factor. Plain Richardson refinement does NOT contract here:
+            # eps32 * cond(Hs) > 1 at M3500's conditioning, so refined
+            # steps stay biased and LM crawls (measured: 40 iterations of
+            # ~0.01-cost creep). CG only needs the preconditioner to be
+            # SPD-ish and recovers the f64 step in a handful of iterations.
+            b = -flatten_tangent(ga, g64)
+            bn = jnp.linalg.norm(b) + 1e-300
+            x = minv(b)
+            r = b - h64(x)
+            z = minv(r)
+            p = z
+            rz = jnp.vdot(r, z)
+
+            def cg_cond(s):
+                _x, r_, _z, _p, _rz, k = s
+                return jnp.logical_and(
+                    k < opts.polish_iters,
+                    jnp.linalg.norm(r_) > opts.polish_tol * bn,
+                )
+
+            def cg_body(s):
+                x_, r_, z_, p_, rz_, k = s
+                Ap = h64(p_)
+                denom = jnp.vdot(p_, Ap)
+                alpha = rz_ / jnp.where(jnp.abs(denom) < 1e-300, 1e-300, denom)
+                x_ = x_ + alpha * p_
+                r_ = r_ - alpha * Ap
+                z_ = minv(r_)
+                rz2 = jnp.vdot(r_, z_)
+                p_ = z_ + (rz2 / rz_) * p_
+                return (x_, r_, z_, p_, rz2, k + 1)
+
+            x, r, _z, _p, _rz, _k = jax.lax.while_loop(
+                cg_cond, cg_body, (x, r, z, p, rz, jnp.zeros((), jnp.int32))
+            )
+            delta = unflatten_tangent(ga, x.astype(ga.dtype))
+            g_out = {t: g64[t].astype(ga.dtype) for t in g64}
+            exact = jnp.linalg.norm(r) <= opts.polish_tol * bn
+            return delta, g_out, pstate_empty, exact
 
         def solve_mixed(lins, lam, rt, pstate):
             """The flagship large-graph solver: exact f64 Gauss-Newton steps
@@ -338,28 +458,45 @@ class ParametricSolver:
                 return out
 
             b = {t: -g64[t] for t in g64}
-            x, k = pcg(hvp, b, precond, 1e-8, opts.mixed_cg_iters, f64)
+            x, _k, cg_ok = pcg(hvp, b, precond, 1e-8, opts.mixed_cg_iters, f64)
             delta = {t: x[t].astype(ga.dtype) for t in x}
             new_pstate = {
                 "Linv": Linv,
                 "dvec": dvec,
-                # cap-hit => the reused factor no longer preconditions well
-                "stale": k >= opts.mixed_cg_iters,
+                # explicit residual-test failure => the reused factor no
+                # longer preconditions well; refactorize next iteration
+                # (and the truncated step must not fire ftol/xtol — the
+                # cg_ok flag gates those codes in the LM loop)
+                "stale": ~cg_ok,
             }
-            return delta, {t: g64[t].astype(ga.dtype) for t in g64}, new_pstate
+            return (
+                delta,
+                {t: g64[t].astype(ga.dtype) for t in g64},
+                new_pstate,
+                cg_ok,
+            )
 
         linear_solve = {
             "dense": solve_dense,
+            "dense32": solve_dense32,
             "pcg": solve_pcg,
             "mixed": solve_mixed,
         }[self.linear]
+
+        # cost accumulation dtype: f64 scalars when x64 is live — f32
+        # accumulation noise (~1e-4 relative at M3500 scale) otherwise
+        # masks ftol-level cost changes and the loop never terminates early
+        cdt = jnp.float64 if _X64_OK else ga.dtype
 
         def step(values, lam, rt, pstate=None):
             if pstate is None:
                 pstate = self._pstate0()
             lins = linearize_all(ga, values, rt)
-            cost0 = sum(0.5 * jnp.sum(r0 * r0) for _b, r0, _J, _v in lins)
-            delta, g, new_pstate = linear_solve(lins, lam, rt, pstate)
+            cost0 = sum(
+                0.5 * jnp.sum(r0.astype(cdt) * r0.astype(cdt))
+                for _b, r0, _J, _v in lins
+            )
+            delta, g, new_pstate, exact = linear_solve(lins, lam, rt, pstate)
             if isinstance(g, dict):
                 gvec = g
             else:
@@ -367,10 +504,10 @@ class ParametricSolver:
             gnorm = jnp.sqrt(_tdot(gvec, gvec))
             dnorm = jnp.sqrt(_tdot(delta, delta))
             trial = boxplus_all(values, delta, rt)
-            cost1 = cost_at(ga, trial, rt)
+            cost1 = cost_at(ga, trial, rt, accum_dtype=cdt)
             # gain ratio: actual vs quadratic-model predicted reduction
             Hd = hvp_from_lins(ga, lins, delta, rt)
-            pred = -(_tdot(gvec, delta) + 0.5 * _tdot(delta, Hd))
+            pred = (-(_tdot(gvec, delta) + 0.5 * _tdot(delta, Hd))).astype(cdt)
             rho = (cost0 - cost1) / jnp.where(pred > 1e-30, pred, 1e-30)
             ok = jnp.logical_and(jnp.isfinite(cost1), cost1 < cost0)
             new_values = jax.tree_util.tree_map(
@@ -387,7 +524,10 @@ class ParametricSolver:
                 grow,
                 jnp.where(rho < 0.25, grow, jnp.where(rho > 0.7, shrink, lam)),
             )
-            return new_values, new_lam, cost0, cost1, gnorm, dnorm, ok, new_pstate
+            return (
+                new_values, new_lam, cost0, cost1, gnorm, dnorm, ok,
+                new_pstate, exact,
+            )
 
         return step
 
@@ -427,6 +567,8 @@ class ParametricSolver:
         step = self._make_step()
         step_floor = 1e-4 if ga.dtype == jnp.float32 else 1e-9
         max_iters = int(opts.max_iters)
+        _x64 = bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32
+        cdt = jnp.float64 if _x64 else ga.dtype
 
         def loop(values, lam, rt):
             hist0 = jnp.zeros((max_iters, 6), dtype=jnp.float32)
@@ -437,16 +579,19 @@ class ParametricSolver:
 
             def body(state):
                 values, lam, it, cost_prev, n_rej, code, _g, hist, pstate = state
-                new_values, new_lam, cost0, cost1, gnorm, dnorm, ok, pstate = step(
-                    values, lam, rt, pstate
-                )
+                (new_values, new_lam, cost0, cost1, gnorm, dnorm, ok, pstate,
+                 exact) = step(values, lam, rt, pstate)
                 hist = hist.at[it].set(
                     jnp.stack(
                         [cost0, cost1, gnorm, dnorm,
                          ok.astype(cost0.dtype), new_lam]
                     ).astype(jnp.float32)
                 )
-                # accepted-branch convergence
+                # accepted-branch convergence. ftol/xtol are only meaningful
+                # when the linear solve was trustworthy (`exact`): a
+                # truncated CG step under a stale preconditioner barely
+                # moves cost and would otherwise fire ftol at a
+                # non-stationary point.
                 ftol_hit = jnp.abs(cost_prev - cost1) <= opts.ftol * jnp.maximum(
                     1.0, jnp.abs(cost_prev)
                 )
@@ -454,10 +599,17 @@ class ParametricSolver:
                     gnorm < opts.gtol,
                     1,
                     jnp.where(
-                        dnorm < opts.xtol,
+                        jnp.logical_and(exact, dnorm < opts.xtol),
                         2,
                         jnp.where(
-                            jnp.logical_and(jnp.isfinite(cost_prev), ftol_hit), 3, 0
+                            jnp.logical_and(
+                                exact,
+                                jnp.logical_and(
+                                    jnp.isfinite(cost_prev), ftol_hit
+                                ),
+                            ),
+                            3,
+                            0,
                         ),
                     ),
                 )
@@ -490,7 +642,7 @@ class ParametricSolver:
                 values,
                 lam,
                 jnp.zeros((), jnp.int32),
-                jnp.asarray(jnp.inf, dtype=ga.dtype),
+                jnp.asarray(jnp.inf, dtype=cdt),
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), dtype=ga.dtype),
@@ -500,7 +652,7 @@ class ParametricSolver:
             values, lam, it, _cp, n_rej, code, gnorm, hist, _ps = jax.lax.while_loop(
                 cond, body, init
             )
-            final_cost = cost_at(ga, values, rt)
+            final_cost = cost_at(ga, values, rt, accum_dtype=cdt)
             return values, it, code, n_rej, gnorm, final_cost, hist
 
         return loop
@@ -523,14 +675,17 @@ class ParametricSolver:
         gnorm = float("nan")
         pstate = self._pstate0()
         for it in range(int(opts.max_iters)):
-            new_values, lam, c0, c1, gn, dn, ok, pstate = self._step(
+            new_values, lam, c0, c1, gn, dn, ok, pstate, exact = self._step(
                 values, lam, rt, pstate
             )
             # ONE device_get for all step scalars — five separate float()
             # fetches cost five round-trips over a tunneled TPU
-            c0, c1, gn, dn, okb = jax.device_get((c0, c1, gn, dn, ok))
-            c0, c1, gn, dn, okb = (
+            c0, c1, gn, dn, okb, exact = jax.device_get(
+                (c0, c1, gn, dn, ok, exact)
+            )
+            c0, c1, gn, dn, okb, exact = (
                 float(c0), float(c1), float(gn), float(dn), bool(okb),
+                bool(exact),
             )
             gnorm = gn
             hist.append(
@@ -539,11 +694,12 @@ class ParametricSolver:
             )
             if okb:
                 values = new_values
+                # ftol/xtol only trusted on an exact (non-truncated) solve
                 if gn < opts.gtol:
                     code = 1
-                elif dn < opts.xtol:
+                elif exact and dn < opts.xtol:
                     code = 2
-                elif np.isfinite(cost_prev) and abs(cost_prev - c1) <= (
+                elif exact and np.isfinite(cost_prev) and abs(cost_prev - c1) <= (
                     opts.ftol * max(1.0, abs(cost_prev))
                 ):
                     code = 3

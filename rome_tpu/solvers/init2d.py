@@ -1,21 +1,28 @@
-"""Chordal-style two-stage linear initialization for 2D pose graphs.
+"""Chordal two-stage linear initialization for 2D pose graphs.
 
 The reference relies on odometry-chain propagation for init (IIF graphinit /
-initParametricFrom). For large loop-closure graphs (Manhattan-3500) that
-start is far from the basin and LM needs hundreds of iterations. The
-TPU-native answer: rotation-first initialization — the classic pose-graph
-trick (Carlone et al.) expressed as two *linear* least-squares solves:
+initParametricFrom, e.g. examples/ManhattanDatasetBatch.jl:30-41). For large
+loop-closure graphs that start is far outside the LM basin. The TPU-native
+answer is the classic chordal initialization (Carlone et al.) expressed as
+two *linear* least-squares solves, both assembled as dense normal equations
+(scatter-adds) and factorized on the MXU:
 
-  stage 1 (rotation): theta residual sym_rem(th_i + dth_ij - th_j) is linear
-    in theta with Jacobians +-1 -> a graph-Laplacian solve; two GN passes
-    handle the angle wraps.
-  stage 2 (translation): given rotations, R_i^T (t_j - t_i) = dt_ij is
-    linear in t -> one 2x2-block-structured LS solve.
+  stage 1 (rotation, chordal relaxation): parametrize each rotation by its
+    unnormalized first column u_i = (c_i, s_i). The edge constraint
+    R_j = R_i R(z_th) is LINEAR in u:  r = u_j - R(z_th) u_i. No angle
+    variable ever appears, so there is NO wrap sensitivity — the relaxation
+    is globally convergent regardless of the starting point (unlike a
+    theta-Laplacian pass, which inherits the wrap basin of the odometry
+    init: measured cost-after-init on M3500 was 8.6e6 for the theta pass vs
+    1.3e5 for the relaxation). theta = atan2(s, c) afterwards.
+  stage 2 (translation): given rotations, R_i^T (t_j - t_i) = z_t is linear
+    in t -> one 2x2-block-structured LS solve.
 
-Both stages assemble dense normal equations (scatter-adds) and solve with
-Cholesky on the MXU up to ``dense_limit`` poses; beyond that they fall back
-to Jacobi-preconditioned CG. After this init the full LM typically converges
-in <15 iterations on Manhattan-3500.
+Frozen (free=0) poses are held bit-identical (fixed-lag contract,
+testFixedLagFG.jl:115) — they enter stage solves as pinned boundary values.
+After this init the full LM converges in ~12 iterations on Manhattan-3500
+and reaches the global basin on MIT (cost 20.6 vs the 383.8 local minimum
+that odometry init falls into).
 """
 
 from __future__ import annotations
@@ -24,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from rome_tpu.graph.lower import GraphArrays
-from rome_tpu.utils.math import rot2, sym_rem
+from rome_tpu.utils.math import rot2
 
 _ODO_BATCHES = ("Pose2Pose2", "MutablePose2Pose2Gaussian")
 
@@ -47,13 +54,65 @@ def _pose2_priors(ga: GraphArrays):
     return out
 
 
-def _solve_spd(A, g, free, dtype):
-    """Solve A x = -g with frozen rows pinned (dense Cholesky)."""
-    f = free
+def _solve_spd_delta(A, g, free, dtype):
+    """GN step for a linear problem: solve A dx = -g with frozen rows pinned
+    to dx = 0 (their coupling into free rows is already inside g = A x - b).
+
+    The chordal normal matrices are graph Laplacians — condition number grows
+    like diameter^2, so a pure-f32 factorization (plus a 1e-6 jitter) loses
+    the init quality entirely (measured on M3500: cost-after-init 2.7e7 in
+    f32 vs 1.3e5 exact). Assemble/refine in f64 when x64 is live, factorize
+    in f32 on the MXU: Jacobi scaling + f32 Cholesky + f64 iterative
+    refinement (safeguarded, 3 rounds)."""
+    f = free.astype(A.dtype)
     A = A * (f[:, None] * f[None, :]) + jnp.diag(1.0 - f)
-    A = A + 1e-6 * jnp.diag(jnp.maximum(jnp.diag(A), 1.0))
-    L, low = jax.scipy.linalg.cho_factor(A, lower=True)
-    return jax.scipy.linalg.cho_solve((L, low), -g) * f
+    # symmetric Jacobi scaling onto a unit diagonal
+    d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(A), 1e-12))
+    As = A * d[:, None] * d[None, :]
+    bs = -g * d
+    f32 = jnp.float32
+    As32 = As.astype(f32) + 1e-6 * jnp.eye(As.shape[0], dtype=f32)
+    L, low = jax.scipy.linalg.cho_factor(As32, lower=True)
+    y = jax.scipy.linalg.cho_solve((L, low), bs.astype(f32)).astype(A.dtype)
+    if A.dtype != f32:
+        # f64 CG on the scaled system, preconditioned by the f32 factor —
+        # converges where plain iterative refinement (Richardson) stalls
+        # once eps32 * cond exceeds 1 (Laplacian cond ~ diameter^2).
+        def prec(r):
+            return jax.scipy.linalg.cho_solve((L, low), r.astype(f32)).astype(
+                A.dtype
+            )
+
+        x = y
+        r = bs - As @ x
+        z = prec(r)
+        p = z
+        rz = jnp.vdot(r, z)
+        bn = jnp.linalg.norm(bs) + 1e-300
+
+        def body(state):
+            x, r, z, p, rz, k = state
+            Ap = As @ p
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(r)
+            rz2 = jnp.vdot(r, z)
+            p = z + (rz2 / rz) * p
+            return (x, r, z, p, rz2, k + 1)
+
+        def cond(state):
+            _x, r, _z, _p, _rz, k = state
+            return jnp.logical_and(
+                k < 30, jnp.linalg.norm(r) > 1e-12 * bn
+            )
+
+        x, r, _z, _p, _rz, _k = jax.lax.while_loop(
+            cond, body, (x, r, z, p, rz, jnp.zeros((), jnp.int32))
+        )
+        # safeguard: fall back to the single f32 solve if CG diverged
+        y = jnp.where(jnp.linalg.norm(bs - As @ x) <= jnp.linalg.norm(bs - As @ y), x, y)
+    return (y * d * f).astype(dtype)
 
 
 _CHORDAL_CACHE: dict = {}
@@ -62,8 +121,8 @@ _CHORDAL_CACHE: dict = {}
 def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
     """Return values with the Pose2 block re-initialized. Other variable
     types pass through untouched. The whole two-stage solve is ONE jitted
-    program (eager scatter-adds cost ~ms each over a tunneled TPU — 166 s
-    measured on M3500) and is cached per structure."""
+    program (eager scatter-adds cost ~ms each over a tunneled TPU) and is
+    cached per structure."""
     if "Pose2" not in ga.counts:
         return values
     n = ga.counts["Pose2"]
@@ -91,44 +150,72 @@ def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
 
 
 def _chordal_body(dtype, n, pose2_values, edges, priors, free):
-    th = pose2_values[:, 2]
-
-    # ---------------- stage 1: rotations (2 linear GN passes) --------------
-    def theta_pass(th):
-        A = jnp.zeros((n, n), dtype=dtype)
-        g = jnp.zeros(n, dtype=dtype)
-        for i, j, z, S, w in edges:
-            wq = (S[:, 2, 2] ** 2) * w
-            r = sym_rem(th[i] + z[:, 2] - th[j])
-            g = g.at[i].add(wq * r).at[j].add(-wq * r)
-            A = (
-                A.at[i, i].add(wq)
-                .at[j, j].add(wq)
-                .at[i, j].add(-wq)
-                .at[j, i].add(-wq)
-            )
-        for idx, z, S, w in priors:
-            wq = (S[:, 2, 2] ** 2) * w
-            g = g.at[idx].add(wq * sym_rem(th[idx] - z[:, 2]))
-            A = A.at[idx, idx].add(wq)
-        dth = _solve_spd(A, g * free, free, dtype)
-        return sym_rem(th + dth)
-
-    th = theta_pass(th)
-    th = theta_pass(th)
-
-    # ---------------- stage 2: translations (single linear solve) ----------
-    R = rot2(th)
-    t0 = pose2_values[:, :2]
-    A = jnp.zeros((2 * n, 2 * n), dtype=dtype)
-    g = jnp.zeros((n, 2), dtype=dtype)
+    # assembly/refinement precision: f64 when x64 is live (the Laplacian
+    # solves need it — see _solve_spd_delta), else the graph dtype
+    adt = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    th0 = pose2_values[:, 2].astype(adt)
+    t0 = pose2_values[:, :2].astype(adt)
+    edges = [
+        (i, j, z.astype(adt), S.astype(adt), w.astype(adt))
+        for i, j, z, S, w in edges
+    ]
+    priors = [
+        (i, z.astype(adt), S.astype(adt), w.astype(adt))
+        for i, z, S, w in priors
+    ]
+    dtype, out_dtype = adt, dtype
 
     def idx2(i):
         return 2 * i[:, None] + jnp.arange(2)[None, :]  # (m, 2)
 
+    # -------- stage 1: chordal rotation relaxation (linear in (c, s)) ------
+    # unknown u_i = (cos th_i, sin th_i) unnormalized; edge residual
+    # r = w * (u_j - R(z_th) u_i); prior residual r = w * (u_i - u_target).
+    # Solved as one GN step from the current u (linear => exact), frozen
+    # poses pinned so their u never moves.
+    u0 = jnp.stack([jnp.cos(th0), jnp.sin(th0)], axis=-1)  # (n, 2)
+    A = jnp.zeros((2 * n, 2 * n), dtype=dtype)
+    g = jnp.zeros((n, 2), dtype=dtype)
+    for i, j, z, S, w in edges:
+        wq = (S[:, 2, 2] * w) ** 2  # info weight of the rotation row
+        cz, sz = jnp.cos(z[:, 2]), jnp.sin(z[:, 2])
+        Rz = jnp.stack(
+            [jnp.stack([cz, -sz], -1), jnp.stack([sz, cz], -1)], -2
+        )  # (m, 2, 2)
+        r = u0[j] - jnp.einsum("nij,nj->ni", Rz, u0[i])  # (m, 2)
+        # g = A u - b contributions: J_j = I, J_i = -Rz
+        g = g.at[j].add(wq[:, None] * r)
+        g = g.at[i].add(-wq[:, None] * jnp.einsum("nji,nj->ni", Rz, r))
+        eye2 = jnp.broadcast_to(jnp.eye(2, dtype=dtype), Rz.shape)
+        wI = wq[:, None, None] * eye2
+        wRz = wq[:, None, None] * Rz
+        ii, jj = idx2(i), idx2(j)
+        A = A.at[jj[:, :, None], jj[:, None, :]].add(wI)
+        A = A.at[ii[:, :, None], ii[:, None, :]].add(wI)  # Rz^T Rz = I
+        A = A.at[jj[:, :, None], ii[:, None, :]].add(-wRz)
+        A = A.at[ii[:, :, None], jj[:, None, :]].add(
+            -jnp.swapaxes(wRz, -1, -2)
+        )
+    for idx, z, S, w in priors:
+        wq = (S[:, 2, 2] * w) ** 2
+        ut = jnp.stack([jnp.cos(z[:, 2]), jnp.sin(z[:, 2])], -1)
+        g = g.at[idx].add(wq[:, None] * (u0[idx] - ut))
+        ii = idx2(idx)
+        eye2 = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (idx.shape[0], 2, 2))
+        A = A.at[ii[:, :, None], ii[:, None, :]].add(wq[:, None, None] * eye2)
+    f2 = jnp.repeat(free, 2)
+    du = _solve_spd_delta(A, g.reshape(-1), f2, dtype)
+    u = u0 + du.reshape(n, 2)
+    th = jnp.where(free > 0, jnp.arctan2(u[:, 1], u[:, 0]), th0)
+
+    # -------- stage 2: translations (single linear solve) ------------------
+    R = rot2(th)
+    A = jnp.zeros((2 * n, 2 * n), dtype=dtype)
+    g = jnp.zeros((n, 2), dtype=dtype)
+
     for i, j, z, S, w in edges:
         St = S[:, :2, :2]
-        W = jnp.einsum("nij,nik->njk", St, St) * w[:, None, None]  # (m,2,2)
+        W = jnp.einsum("nij,nik->njk", St, St) * (w ** 2)[:, None, None]  # (m,2,2)
         Ri = R[i]
         # r = R_i^T (t_j - t_i) - dt;  J_tj = R_i^T, J_ti = -R_i^T
         r = jnp.einsum("nji,nj->ni", Ri, t0[j] - t0[i]) - z[:, :2]
@@ -143,13 +230,15 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free):
         A = A.at[ii[:, :, None], jj[:, None, :]].add(-RWRt)
     for idx, z, S, w in priors:
         St = S[:, :2, :2]
-        W = jnp.einsum("nij,nik->njk", St, St) * w[:, None, None]
+        W = jnp.einsum("nij,nik->njk", St, St) * (w ** 2)[:, None, None]
         r = t0[idx] - z[:, :2]
         g = g.at[idx].add(jnp.einsum("njk,nk->nj", W, r))
         ii = idx2(idx)
         A = A.at[ii[:, :, None], ii[:, None, :]].add(W)
 
     f2 = jnp.repeat(free, 2)
-    dt = _solve_spd(A, (g * free[:, None]).reshape(-1), f2, dtype)
+    dt = _solve_spd_delta(A, g.reshape(-1), f2, dtype)
     t = t0 + dt.reshape(n, 2)
-    return jnp.concatenate([t, th[:, None]], axis=-1)
+    # frozen poses stay bit-identical to the input (fixed-lag contract)
+    out = jnp.concatenate([t, th[:, None]], axis=-1).astype(out_dtype)
+    return jnp.where(free[:, None] > 0, out, pose2_values)

@@ -125,9 +125,17 @@ def linearize_all(ga: GraphArrays, values, rt=None):
     return out
 
 
-def cost_at(ga: GraphArrays, values, rt=None):
-    """0.5 * sum of squared whitened residuals (the LM objective)."""
-    c = jnp.zeros((), dtype=ga.dtype)
+def cost_at(ga: GraphArrays, values, rt=None, accum_dtype=None):
+    """0.5 * sum of squared whitened residuals (the LM objective).
+
+    ``accum_dtype``: accumulate the sum of squares in this dtype (cheap —
+    O(nnz) casts). An f32 accumulation over ~16k squared residuals carries
+    ~1e-4 relative noise at M3500 cost scale, which is enough to keep a
+    tight ftol from ever firing; the solvers accumulate in f64 when x64 is
+    live. The returned scalar is cast back to ``ga.dtype``-compatible
+    ``accum_dtype`` (caller casts further if needed)."""
+    adt = accum_dtype or ga.dtype
+    c = jnp.zeros((), dtype=adt)
     for i, b in enumerate(ga.batches):
         if rt is None:
             r = batch_residual(ga, b, values)
@@ -135,6 +143,7 @@ def cost_at(ga: GraphArrays, values, rt=None):
             r = batch_residual(
                 ga, b, values, rt["params"][i], rt["vslots"][i], rt["weight"][i]
             )
+        r = r.astype(adt)
         c = c + 0.5 * jnp.sum(r * r)
     return c
 
@@ -226,15 +235,21 @@ def dense_normal_eqs(ga: GraphArrays, lins, dtype=None, rt=None):
     their update is exactly zero — this is how fixed-lag freezing
     (testFixedLagFG.jl bit-stability) is realized in the parametric path.
 
+    All block contributions are flattened into ONE scatter-add per output
+    (H and g): TPU scatters have high per-call cost (each sequential
+    ``.at[].add`` re-materializes the 441 MB M3500 H), so fusing the 4+
+    per-batch slot-pair scatters into a single call is worth ~2x on the
+    assembly phase of every LM iteration.
+
     ``dtype``: assembly precision. At M3500 scale cond(H) ~ 1e8, so an H
-    *stored* in f32 is perturbed by eps32*cond ~ O(1) in its solution — the
-    mixed-precision dense solver therefore assembles in f64 (cheap small-
-    block einsum/scatter ops) and factorizes an f32 cast on the MXU.
+    *stored* in f32 is perturbed by eps32*cond ~ O(1) in its raw solution —
+    callers either assemble in f64 (covariance recovery) or repair the f32
+    solve with matrix-free f64 refinement (the dense32 solver).
     """
     dtype = dtype or ga.dtype
     base, D = tangent_offsets(ga)
-    H = jnp.zeros((D, D), dtype=dtype)
-    g = jnp.zeros((D,), dtype=dtype)
+    rows_all, cols_all, vals_all = [], [], []
+    g_idx_all, g_val_all = [], []
     for batch, r0, Js, vslots in lins:
         r0 = r0.astype(dtype)
         Js = tuple(J.astype(dtype) for J in Js)
@@ -244,10 +259,26 @@ def dense_normal_eqs(ga: GraphArrays, lins, dtype=None, rt=None):
             o = base[t] + vslots[:, k] * d  # (n,)
             offs.append(o[:, None] + jnp.arange(d)[None, :])  # (n, d)
         for k in range(len(batch.vtypes)):
-            g = g.at[offs[k]].add(jnp.einsum("nij,ni->nj", Js[k], r0))
+            g_idx_all.append(offs[k].reshape(-1))
+            g_val_all.append(
+                jnp.einsum("nij,ni->nj", Js[k], r0).reshape(-1)
+            )
             for l in range(len(batch.vtypes)):
                 blk = jnp.einsum("nij,nik->njk", Js[k], Js[l])
-                H = H.at[offs[k][:, :, None], offs[l][:, None, :]].add(blk)
+                dk, dl = blk.shape[1], blk.shape[2]
+                rows_all.append(
+                    jnp.broadcast_to(offs[k][:, :, None], (batch.n, dk, dl)).reshape(-1)
+                )
+                cols_all.append(
+                    jnp.broadcast_to(offs[l][:, None, :], (batch.n, dk, dl)).reshape(-1)
+                )
+                vals_all.append(blk.reshape(-1))
+    H = jnp.zeros((D, D), dtype=dtype)
+    H = H.at[jnp.concatenate(rows_all), jnp.concatenate(cols_all)].add(
+        jnp.concatenate(vals_all)
+    )
+    g = jnp.zeros((D,), dtype=dtype)
+    g = g.at[jnp.concatenate(g_idx_all)].add(jnp.concatenate(g_val_all))
     f = free_vector(ga, rt).astype(dtype)
     H = H * (f[:, None] * f[None, :]) + jnp.diag(1.0 - f)
     g = g * f
