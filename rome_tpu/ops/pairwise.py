@@ -134,6 +134,35 @@ def _euclid_kernel(ref_ref, mu_ref, pts_ref, iv_ref, circ_ref, out_ref, *, dof):
     out_ref[:, :] = -0.5 * acc
 
 
+def pairwise_logw_for(man):
+    """Return the fused Gibbs-scoring kernel matching ``man``'s local map,
+    or None when no fused variant applies (caller falls back to the naive
+    vmapped form). Dispatch is static (trace time): SE(2) gets the
+    dedicated hybrid-tangent kernel; any manifold whose local() is per-dim
+    linear/circular (TranslationGroup, SO(2), and products thereof) gets
+    the euclid kernel with a circular-dim mask."""
+    from rome_tpu.manifolds.base import SE2, SO2, ProductGroup, TranslationGroup
+
+    if isinstance(man, SE2):
+        return se2_pairwise_logw
+
+    def per_dim(m):
+        if isinstance(m, (TranslationGroup, SO2)):
+            return True
+        if isinstance(m, ProductGroup):
+            return all(per_dim(p) for p in m.parts)
+        return False
+
+    if per_dim(man) and man.dof <= _DPAD and man.point_dim == man.dof:
+        circ = jnp.asarray(
+            [1.0 if c == "c" else 0.0 for c in man.coord_types], jnp.float32
+        )
+        return lambda ref, mu, pts, inv_var: euclid_pairwise_logw(
+            ref, mu, pts, inv_var, circ
+        )
+    return None
+
+
 def euclid_pairwise_logw(ref, mu, pts, inv_var, circular_mask):
     """Fused per-dim linear/circular Gibbs conditional log-weights.
 

@@ -269,7 +269,15 @@ def make_sharded_gn_step(
                 ),
             )
             n_rej_new = jnp.where(ok, 0, n_rej + 1)
-            rej_code = jnp.where(n_rej_new >= 8, 5, 0)
+            # rejected near the f32 step floor = converged (code 4) — the
+            # same semantics as the single-device loop. Without it the
+            # device count changes psum reduction order by ulps, which can
+            # flip a final ftol stop into a reject cascade and make an
+            # otherwise-identical solve read "stalled" (the SCALING_r02
+            # 2-device converged:false drift).
+            rej_code = jnp.where(
+                dnorm < 1e-4, 4, jnp.where(n_rej_new >= 8, 5, 0)
+            )
             new_code = jnp.where(ok, acc_code, rej_code).astype(jnp.int32)
             new_cost_prev = jnp.where(ok, cost1, cost_prev)
             return (new_values, new_lam, it + 1, new_cost_prev,
@@ -340,10 +348,12 @@ def solve_distributed(ga: GraphArrays, mesh: Mesh, max_iters: int = 100,
     values, it, code, final_cost = step.solve(values, lam)
     stats = dict(
         iterations=int(it),
-        reason={0: "max_iters", 1: "gtol", 3: "ftol", 5: "stalled"}.get(
-            int(code), "?"
-        ),
-        converged=int(code) in (1, 3),
+        reason={
+            0: "max_iters", 1: "gtol", 3: "ftol", 4: "step_floor",
+            5: "stalled",
+        }.get(int(code), "?"),
+        converged=int(code) in (1, 3, 4)
+        or (int(code) == 5 and int(it) > 3),
         final_cost=float(final_cost),
     )
     return values, stats

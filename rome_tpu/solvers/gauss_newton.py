@@ -104,8 +104,8 @@ class GNOptions:
     pcg_tol: float = 1e-8
     ir_rounds: int = 2            # f64 iterative-refinement rounds (dense)
     mixed_cg_iters: int = 50      # f64 CG iterations (mixed)
-    polish_tol: float = 1e-4      # dense32 f64-CG relative residual tol
-    polish_iters: int = 25        # dense32 f64-CG iteration cap
+    polish_tol: float = 1e-6      # dense32 f64-CG relative residual tol
+    polish_iters: int = 40        # dense32 f64-CG iteration cap
     verbose: bool = False
 
 
@@ -139,6 +139,13 @@ class ParametricSolver:
 
         self._ga64 = copy.copy(ga)
         self._ga64.dtype = jnp.float64
+        # dense32 carries values in f64 (linearize/cost are O(nnz); only the
+        # dense factorization drops to f32)
+        self._use64 = (
+            self.linear == "dense32"
+            and bool(jax.config.jax_enable_x64)
+            and ga.dtype == jnp.float32
+        )
         self._rt0 = runtime_state(ga)
         self._step = jax.jit(self._make_step())
         self._cost = jax.jit(lambda values, rt: cost_at(self.ga, values, rt))
@@ -163,11 +170,17 @@ class ParametricSolver:
         # f64 refinement needs x64 enabled in this process (bench.py and the
         # CPU test mesh enable it); otherwise the cast is a silent f32 no-op
         _X64_OK = bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32
+        # dense32 carries VALUES and linearizations in f64 (O(nnz) emulated
+        # f64 — cheap) and keeps only the dense factorization in f32: an
+        # f32 state+residual path caps cost resolution at ~1e-4 relative,
+        # which on M3500's flat valley is a 0.15 m ATE floor (measured).
+        use64 = self.linear == "dense32" and _X64_OK
+        gaW = self._ga64 if use64 else ga
 
         def boxplus_all(values, delta, rt):
             out = {}
-            for t in ga.type_names:
-                man = ga.manifolds[t]
+            for t in gaW.type_names:
+                man = gaW.manifolds[t]
                 d = delta[t] * rt["free"][t][:, None]
                 out[t] = man.normalize(man.boxplus(values[t], d))
             return out
@@ -223,6 +236,7 @@ class ParametricSolver:
                 g.astype(ga.dtype),
                 pstate_empty,
                 jnp.asarray(True),
+                {},
             )
 
         def solve_pcg(lins, lam, rt, pstate):
@@ -262,7 +276,7 @@ class ParametricSolver:
             x, _k, cg_ok = pcg(
                 hvp, b, precond, opts.pcg_tol, opts.pcg_iters, ga.dtype
             )
-            return x, gvec, pstate_empty, cg_ok
+            return x, gvec, pstate_empty, cg_ok, {}
 
         def solve_dense32(lins, lam, rt, pstate):
             """The flagship large-graph solver (round 3): f32 dense normal
@@ -279,67 +293,53 @@ class ParametricSolver:
             (one trisolve pair/apply). A fresh exact-in-f32 preconditioner
             puts CG at a handful of iterations to polish_tol. Replaces the
             round-2 "mixed" scheme (lazy O(n^3) explicit inverse +
-            50-iteration f64 CG — measured 187 ms/refresh, 53 ms/step)."""
-            _X64 = bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32
-            f64 = jnp.float64
-            H, _g32 = dense_normal_eqs(ga, lins, dtype=ga.dtype, rt=rt)
+            50-iteration f64 CG — measured 187 ms/refresh, 53 ms/step).
+
+            When x64 is live, ``lins`` arrive in f64 (values carried in f64
+            by the step — see ``use64``) and the CG runs in f64; otherwise
+            everything is f32 and the CG acts as a cheap exact-precondition
+            solve (1-2 iterations)."""
+            f32 = jnp.float32
+            wdt = gaW.dtype  # working dtype of values/lins/CG
+            H, _g32 = dense_normal_eqs(gaW, lins, dtype=f32, rt=rt)
             diag = jnp.maximum(jnp.diag(H), 1e-8)
-            Hd = H + lam * jnp.diag(diag)
+            Hd = H + lam.astype(f32) * jnp.diag(diag)
             d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(Hd), 1e-12))
             Hs = Hd * d[:, None] * d[None, :]
-            Hs = Hs + 2e-6 * jnp.eye(Hs.shape[0], dtype=ga.dtype)
+            Hs = Hs + 2e-6 * jnp.eye(Hs.shape[0], dtype=f32)
             L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
-            fvec = free_vector(ga, rt)
+            fvec = free_vector(gaW, rt).astype(wdt)
 
             def minv(r):
-                # r (unscaled residual, f64) -> approx Hd^-1 r via the f32
+                # r (unscaled residual, wdt) -> approx Hd^-1 r via the f32
                 # scaled factor; two triangular solves on the MXU
-                y = jax.scipy.linalg.cho_solve(
-                    (L, lower), (r.astype(ga.dtype) * d)
-                )
-                return (y * d).astype(r.dtype) * fvec.astype(r.dtype)
+                y = jax.scipy.linalg.cho_solve((L, lower), r.astype(f32) * d)
+                return (y * d).astype(wdt) * fvec
 
-            if not _X64:
-                gvec = gradient_from_lins(ga, lins, rt)
-                b = -flatten_tangent(ga, gvec)
-                x = minv(b)
+            g = gradient_from_lins(gaW, lins, rt)
+            diagW = diag.astype(wdt)
+            lamW = lam.astype(wdt)
+
+            def hD(x):
+                v = unflatten_tangent(gaW, x)
+                out = hvp_from_lins(gaW, lins, v, rt)
                 return (
-                    unflatten_tangent(ga, x.astype(ga.dtype)),
-                    gvec,
-                    pstate_empty,
-                    jnp.asarray(True),
-                )
+                    flatten_tangent(gaW, out) + lamW * diagW * x
+                ) * fvec
 
-            lins64 = [
-                (b_, r0.astype(f64), tuple(J.astype(f64) for J in Js), vs)
-                for b_, r0, Js, vs in lins
-            ]
-            ga64 = self._ga64
-            rt64 = jax.tree_util.tree_map(
-                lambda x: x.astype(f64) if x.dtype == ga.dtype else x, rt
-            )
-            g64 = gradient_from_lins(ga64, lins64, rt64)
-            diag64 = diag.astype(f64)
-            lam64 = lam.astype(f64)
-            free64 = fvec.astype(f64)
-
-            def h64(x):
-                v = unflatten_tangent(ga, x)
-                out = hvp_from_lins(ga64, lins64, v, rt64)
-                return (
-                    flatten_tangent(ga, out) + lam64 * diag64 * x
-                ) * free64
-
-            # f64 CG on the true damped system, preconditioned by the f32
+            # CG on the true damped system, preconditioned by the f32
             # factor. Plain Richardson refinement does NOT contract here:
             # eps32 * cond(Hs) > 1 at M3500's conditioning, so refined
             # steps stay biased and LM crawls (measured: 40 iterations of
             # ~0.01-cost creep). CG only needs the preconditioner to be
-            # SPD-ish and recovers the f64 step in a handful of iterations.
-            b = -flatten_tangent(ga, g64)
+            # SPD-ish and recovers the exact step in a handful of
+            # iterations; the matvec is matrix-free over the factor batches
+            # (O(nnz) — ~2 ms in emulated f64 at M3500 scale, vs ~70 ms
+            # for a dense f64 matvec).
+            b = -flatten_tangent(gaW, g)
             bn = jnp.linalg.norm(b) + 1e-300
             x = minv(b)
-            r = b - h64(x)
+            r = b - hD(x)
             z = minv(r)
             p = z
             rz = jnp.vdot(r, z)
@@ -353,7 +353,7 @@ class ParametricSolver:
 
             def cg_body(s):
                 x_, r_, z_, p_, rz_, k = s
-                Ap = h64(p_)
+                Ap = hD(p_)
                 denom = jnp.vdot(p_, Ap)
                 alpha = rz_ / jnp.where(jnp.abs(denom) < 1e-300, 1e-300, denom)
                 x_ = x_ + alpha * p_
@@ -363,13 +363,18 @@ class ParametricSolver:
                 p_ = z_ + (rz2 / rz_) * p_
                 return (x_, r_, z_, p_, rz2, k + 1)
 
-            x, r, _z, _p, _rz, _k = jax.lax.while_loop(
+            x, r, _z, _p, _rz, k = jax.lax.while_loop(
                 cg_cond, cg_body, (x, r, z, p, rz, jnp.zeros((), jnp.int32))
             )
-            delta = unflatten_tangent(ga, x.astype(ga.dtype))
-            g_out = {t: g64[t].astype(ga.dtype) for t in g64}
+            delta = unflatten_tangent(gaW, x)
             exact = jnp.linalg.norm(r) <= opts.polish_tol * bn
-            return delta, g_out, pstate_empty, exact
+            # model reduction for the gain ratio, free from CG state:
+            # H delta = b - r and b = -g  =>
+            # pred = -(g.d + 0.5 d.Hd) = 0.5 b.d + 0.5 d.r
+            pred = 0.5 * (jnp.vdot(b, x) + jnp.vdot(x, r))
+            return delta, g, pstate_empty, exact, {
+                "pred": pred, "cg_iters": k,
+            }
 
         def solve_mixed(lins, lam, rt, pstate):
             """The flagship large-graph solver: exact f64 Gauss-Newton steps
@@ -474,6 +479,7 @@ class ParametricSolver:
                 {t: g64[t].astype(ga.dtype) for t in g64},
                 new_pstate,
                 cg_ok,
+                {},
             )
 
         linear_solve = {
@@ -491,23 +497,31 @@ class ParametricSolver:
         def step(values, lam, rt, pstate=None):
             if pstate is None:
                 pstate = self._pstate0()
-            lins = linearize_all(ga, values, rt)
+            lins = linearize_all(gaW, values, rt)
             cost0 = sum(
                 0.5 * jnp.sum(r0.astype(cdt) * r0.astype(cdt))
                 for _b, r0, _J, _v in lins
             )
-            delta, g, new_pstate, exact = linear_solve(lins, lam, rt, pstate)
+            delta, g, new_pstate, exact, extras = linear_solve(
+                lins, lam, rt, pstate
+            )
             if isinstance(g, dict):
                 gvec = g
             else:
-                gvec = unflatten_tangent(ga, g)
+                gvec = unflatten_tangent(gaW, g)
             gnorm = jnp.sqrt(_tdot(gvec, gvec))
             dnorm = jnp.sqrt(_tdot(delta, delta))
             trial = boxplus_all(values, delta, rt)
-            cost1 = cost_at(ga, trial, rt, accum_dtype=cdt)
-            # gain ratio: actual vs quadratic-model predicted reduction
-            Hd = hvp_from_lins(ga, lins, delta, rt)
-            pred = (-(_tdot(gvec, delta) + 0.5 * _tdot(delta, Hd))).astype(cdt)
+            cost1 = cost_at(gaW, trial, rt, accum_dtype=cdt)
+            # gain ratio: actual vs quadratic-model predicted reduction.
+            # dense32 derives pred from its CG state for free; other
+            # solvers pay one extra Hvp.
+            if "pred" in extras:
+                pred = extras["pred"].astype(cdt)
+            else:
+                Hd = hvp_from_lins(gaW, lins, delta, rt)
+                pred = (-(_tdot(gvec, delta) + 0.5 * _tdot(delta, Hd))).astype(cdt)
+            cg_iters = extras.get("cg_iters", jnp.zeros((), jnp.int32))
             rho = (cost0 - cost1) / jnp.where(pred > 1e-30, pred, 1e-30)
             ok = jnp.logical_and(jnp.isfinite(cost1), cost1 < cost0)
             new_values = jax.tree_util.tree_map(
@@ -526,7 +540,7 @@ class ParametricSolver:
             )
             return (
                 new_values, new_lam, cost0, cost1, gnorm, dnorm, ok,
-                new_pstate, exact,
+                new_pstate, exact, cg_iters,
             )
 
         return step
@@ -565,13 +579,15 @@ class ParametricSolver:
         Manhattan-3500)."""
         ga, opts = self.ga, self.opts
         step = self._make_step()
-        step_floor = 1e-4 if ga.dtype == jnp.float32 else 1e-9
         max_iters = int(opts.max_iters)
         _x64 = bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32
         cdt = jnp.float64 if _x64 else ga.dtype
+        # working dtype of values/gradients (dense32 carries f64 values)
+        wdt = jnp.float64 if (self.linear == "dense32" and _x64) else ga.dtype
+        step_floor = 1e-4 if wdt == jnp.float32 else 1e-9
 
         def loop(values, lam, rt):
-            hist0 = jnp.zeros((max_iters, 6), dtype=jnp.float32)
+            hist0 = jnp.zeros((max_iters, 7), dtype=jnp.float32)
 
             def cond(state):
                 _v, _lam, it, _cp, _nr, code, _g, _h, _ps = state
@@ -580,11 +596,13 @@ class ParametricSolver:
             def body(state):
                 values, lam, it, cost_prev, n_rej, code, _g, hist, pstate = state
                 (new_values, new_lam, cost0, cost1, gnorm, dnorm, ok, pstate,
-                 exact) = step(values, lam, rt, pstate)
+                 exact, cg_iters) = step(values, lam, rt, pstate)
                 hist = hist.at[it].set(
                     jnp.stack(
-                        [cost0, cost1, gnorm, dnorm,
-                         ok.astype(cost0.dtype), new_lam]
+                        [cost0, cost1, gnorm.astype(cost0.dtype),
+                         dnorm.astype(cost0.dtype), ok.astype(cost0.dtype),
+                         new_lam.astype(cost0.dtype),
+                         cg_iters.astype(cost0.dtype)]
                     ).astype(jnp.float32)
                 )
                 # accepted-branch convergence. ftol/xtol are only meaningful
@@ -645,7 +663,7 @@ class ParametricSolver:
                 jnp.asarray(jnp.inf, dtype=cdt),
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), jnp.int32),
-                jnp.zeros((), dtype=ga.dtype),
+                jnp.zeros((), dtype=wdt),
                 hist0,
                 self._pstate0(),
             )
@@ -666,6 +684,8 @@ class ParametricSolver:
         latency-critical repeated solves."""
         ga, opts = self.ga, self.opts
         values = values or ga.values0
+        if self._use64:
+            values = {t: jnp.asarray(v, jnp.float64) for t, v in values.items()}
         rt = rt if rt is not None else self._rt0
         lam = jnp.asarray(opts.lam0, dtype=ga.dtype)
         hist = []
@@ -675,7 +695,7 @@ class ParametricSolver:
         gnorm = float("nan")
         pstate = self._pstate0()
         for it in range(int(opts.max_iters)):
-            new_values, lam, c0, c1, gn, dn, ok, pstate, exact = self._step(
+            new_values, lam, c0, c1, gn, dn, ok, pstate, exact, cg_k = self._step(
                 values, lam, rt, pstate
             )
             # ONE device_get for all step scalars — five separate float()
@@ -690,7 +710,7 @@ class ParametricSolver:
             gnorm = gn
             hist.append(
                 dict(iter=it, cost0=c0, cost1=c1, gnorm=gn, dnorm=dn,
-                     accepted=okb, lam=float(lam))
+                     accepted=okb, lam=float(lam), cg=int(cg_k))
             )
             if okb:
                 values = new_values
@@ -734,6 +754,8 @@ class ParametricSolver:
         solver instance came from the structure cache."""
         ga, opts = self.ga, self.opts
         values = values or ga.values0
+        if self._use64:
+            values = {t: jnp.asarray(v, jnp.float64) for t, v in values.items()}
         rt = rt if rt is not None else self._rt0
         lam = jnp.asarray(opts.lam0, dtype=ga.dtype)
         if not hasattr(self, "_solve_loop"):
@@ -752,6 +774,7 @@ class ParametricSolver:
                 dnorm=float(h[3]),
                 accepted=bool(h[4] > 0.5),
                 lam=float(h[5]),
+                cg=int(h[6]),
             )
             for k, h in enumerate(list(jax.device_get(hist))[:it])
         ]

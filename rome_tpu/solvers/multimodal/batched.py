@@ -21,7 +21,8 @@ per-factor approx_conv path and are spliced into the same product tensors.
 
 Compiled programs are cached per graph structure: batch shapes + routing
 are static; params/beliefs are traced, so growing measurements re-use the
-compiled sweep as long as shapes match (see bucketing in incremental.py).
+compiled sweep as long as shapes match (see the shape-bucketing in
+graph/lower.py:69-199 used by the incremental path).
 """
 
 from __future__ import annotations
@@ -293,6 +294,10 @@ def _masked_gibbs(man, K, N, gibbs_sweeps):
             den = jnp.sum(inc[:, None] * lam, axis=0)  # (dof,)
             return ref, num / jnp.maximum(den, 1e-12), den
 
+        from rome_tpu.ops.pairwise import pairwise_logw_for
+
+        fused_logw = pairwise_logw_for(man)  # static dispatch per manifold
+
         def body(i, labels):
             j = i % K
             sel = selected(labels)
@@ -302,12 +307,19 @@ def _masked_gibbs(man, K, N, gibbs_sweeps):
             var = 1.0 / jnp.maximum(prec, 1e-12) + bw[j] * bw[j]
             pts_j = msgs[j]  # (N, pdim)
 
-            def coords_for(ref_i):
-                return man.local(jnp.broadcast_to(ref_i, pts_j.shape), pts_j)
+            if fused_logw is not None:
+                # Pallas: local + Mahalanobis + reduce in one VMEM pass —
+                # the (N, Nj, dof) tangent tensor never touches HBM
+                logw = fused_logw(ref, mu_c, pts_j, 1.0 / var)
+            else:
+                def coords_for(ref_i):
+                    return man.local(
+                        jnp.broadcast_to(ref_i, pts_j.shape), pts_j
+                    )
 
-            C = jax.vmap(coords_for)(ref)            # (N, Nj, dof)
-            d2 = (C - mu_c[:, None, :]) ** 2 / var   # (N, Nj, dof)
-            logw = -0.5 * jnp.sum(d2, axis=-1)
+                C = jax.vmap(coords_for)(ref)            # (N, Nj, dof)
+                d2 = (C - mu_c[:, None, :]) ** 2 / var   # (N, Nj, dof)
+                logw = -0.5 * jnp.sum(d2, axis=-1)
             new_j = jax.random.categorical(
                 jax.random.fold_in(k_sweep, i), logw, axis=-1
             )

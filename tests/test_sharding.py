@@ -56,7 +56,7 @@ def test_sharded_step_matches_single(ndev):
     assert bool(ok)
 
     solver = ParametricSolver(ga, GNOptions(linear="pcg", pcg_iters=100, pcg_tol=1e-10))
-    v2, lam2, c0s, c1s, gs, ds, oks, _ps, _exact = solver._step(
+    v2, lam2, c0s, c1s, gs, ds, oks, _ps, _exact, _cg = solver._step(
         ga.values0, lam, solver._rt0
     )
     assert abs(float(c0) - float(c0s)) < 1e-3 * max(1.0, abs(float(c0s)))

@@ -3,9 +3,17 @@ point).
 
 Measures the pure batched linearization kernel — whitened residual + all
 slot Jacobians for synthetic Pose2Pose2 batches (the M3500 hot kernel) at
-sizes 1e4..1e6 — on whatever device JAX selects (the real TPU under the
-driver). Reports evals/s = factors linearized per second, plus effective
-FLOP/s using the analytic per-factor cost.
+sizes 1e4..1e6.
+
+Methodology (round-3 fix): the kernel is iterated K times INSIDE one jitted
+``lax.scan`` with a data dependency between iterations (the output feeds a
+tiny perturbation of the next input, defeating CSE/DCE), so the measurement
+contains zero dispatch latency — the round-2 harness timed one dispatch per
+rep and, over the tunneled TPU, reported the ~25 ms round-trip as kernel
+time (n=1e4 "553 ms" row). Reports evals/s, effective GFLOP/s, and
+%-of-roofline against the HBM-bandwidth ceiling (the kernel is strongly
+memory-bound: ~156 B and ~525 flops per factor => ~3.4 flops/byte, far
+below the chip's compute:bandwidth balance point).
 
 Usage: python tools/bench_kernels.py [--json out.json]
 """
@@ -18,6 +26,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# per-factor analytic cost of Pose2Pose2 linearization
+FLOPS_PER_EVAL = 525       # SE2 compose+log+whiten (~75) x 7 jacfwd tangents
+BYTES_PER_EVAL = 156       # 2 poses + z + sqrt_info read, r0 + 2 J written
+HBM_BYTES_PER_S = 819e9    # TPU v5e HBM bandwidth (public spec)
 
 
 def _make_batch(n: int, seed: int = 0):
@@ -46,6 +59,7 @@ def _make_batch(n: int, seed: int = 0):
 def main(out_json=None):
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from rome_tpu.graph.lower import GraphArrays
     from rome_tpu.manifolds.base import SE2_
@@ -53,7 +67,7 @@ def main(out_json=None):
 
     dev = jax.devices()[0]
     rows = []
-    for n in (10_000, 100_000, 1_000_000):
+    for n, K in ((10_000, 400), (100_000, 100), (1_000_000, 20)):
         batch = _make_batch(n)
         rng = np.random.default_rng(1)
         values = {
@@ -71,29 +85,47 @@ def main(out_json=None):
             var_labels={"Pose2": [f"x{i}" for i in range(n + 1)]},
         )
 
-        f = jax.jit(lambda v: batch_linearize(ga, batch, v))
-        r0, Js = f(values)
-        float(jnp.sum(r0[0]))  # force completion over the tunnel
-        reps = 20 if n <= 100_000 else 5
-        t0 = time.time()
-        for _ in range(reps):
-            r0, Js = f(values)
-        float(jnp.sum(r0[0]) + sum(jnp.sum(J[0]) for J in Js))
-        dt = (time.time() - t0) / reps
-        evals_s = n / dt
-        # analytic per-factor cost: residual (SE2 compose+log ~ 60 flops,
-        # whiten 3x3 matvec 15) x 7 jacfwd tangents ~ 5e2 flops
+        def body(vals, _):
+            r0, Js = batch_linearize(ga, batch, vals)
+            # loop-carried dependency: a scalar distilled from this
+            # iteration's outputs perturbs the next input, so XLA cannot
+            # hoist or dedupe the kernel across scan steps
+            upd = 1e-30 * (jnp.sum(r0) + sum(jnp.sum(J) for J in Js))
+            return {"Pose2": vals["Pose2"] + upd}, ()
+
+        f = jax.jit(lambda v: lax.scan(body, v, None, length=K)[0])
+        out = f(values)
+        jax.block_until_ready(out["Pose2"])  # compile + warm
+        t_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(values)
+            jax.block_until_ready(out["Pose2"])
+            t_best = min(t_best, (time.perf_counter() - t0) / K)
+        evals_s = n / t_best
+        roofline_evals_s = HBM_BYTES_PER_S / BYTES_PER_EVAL
         rows.append(
             dict(
                 n=n,
-                ms=round(dt * 1000, 3),
+                us=round(t_best * 1e6, 1),
                 evals_per_sec=round(evals_s),
-                gflops_est=round(evals_s * 525 / 1e9, 1),
+                gflops_est=round(evals_s * FLOPS_PER_EVAL / 1e9, 1),
+                pct_of_hbm_roofline=round(100.0 * evals_s / roofline_evals_s, 1),
             )
         )
         print(rows[-1], flush=True)
-    doc = dict(kernel="Pose2Pose2 linearize (residual + 2 Jacobians)",
-               device=str(dev), rows=rows)
+    doc = dict(
+        kernel="Pose2Pose2 linearize (residual + 2 Jacobians)",
+        device=str(dev),
+        methodology="K-deep on-device lax.scan with loop-carried dependency; zero dispatch in the timed region",
+        roofline=dict(
+            bytes_per_eval=BYTES_PER_EVAL,
+            flops_per_eval=FLOPS_PER_EVAL,
+            hbm_bytes_per_s=HBM_BYTES_PER_S,
+            ceiling_evals_per_sec=round(HBM_BYTES_PER_S / BYTES_PER_EVAL),
+        ),
+        rows=rows,
+    )
     if out_json:
         with open(out_json, "w") as fh:
             json.dump(doc, fh, indent=1)

@@ -66,4 +66,4 @@ for name, path, gtf in [
           f"cost={stats.final_cost:.4f} (ref {float(gt['final_cost']):.4f}) "
           f"ate={ate:.4f} conv={stats.converged} reason={stats.reason}", flush=True)
     for h in stats.history:
-        print(f"   it{h['iter']:2d} {h['cost0']:.6g}->{h['cost1']:.6g} ok={h['accepted']} lam={h['lam']:.1e} |dx|={h['dnorm']:.2g}", flush=True)
+        print(f"   it{h['iter']:2d} {h['cost0']:.6g}->{h['cost1']:.6g} ok={h['accepted']} lam={h['lam']:.1e} |dx|={h['dnorm']:.2g} cg={h.get('cg',0)}", flush=True)

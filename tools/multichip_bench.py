@@ -51,7 +51,7 @@ def main(n_poses: int = 1024, out: str = "SCALING_r02.json", platform: str = "cp
                 n_devices=nd,
                 wall_s=round(dt, 4),
                 iters=int(it),
-                converged=int(code) in (1, 3),
+                converged=int(code) in (1, 3, 4),
                 final_cost=fc,
             )
         )
