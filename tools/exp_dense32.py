@@ -42,8 +42,12 @@ for name, path, gtf in [
     t_init = time.time() - t0
     c1 = float(jax.jit(lambda v: cost_at(ga, v, rt))(v1))
 
-    opts = GNOptions(max_iters=40, linear="dense32", polish_tol=1e-4,
-                     polish_iters=25, lam0=1e-6, lam_down=0.1, ftol=1e-7,
+    import os
+    opts = GNOptions(max_iters=40, linear="dense32",
+                     polish_tol=float(os.environ.get("PTOL", "1e-4")),
+                     polish_iters=int(os.environ.get("PITERS", "25")),
+                     lam0=1e-6, lam_down=0.1,
+                     ftol=float(os.environ.get("FTOL", "1e-7")),
                      gtol=1e-8)
     solver = ParametricSolver(ga, opts)
     t0 = time.time()
