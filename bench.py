@@ -3,9 +3,10 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (mirrors examples/ManhattanDatasetBatch.jl): load manhattan.g2o
-(5,453 EDGE_SE2, 3,500 poses), anchor prior at x0, batched LM with the
-mixed-precision linear solver (f64-assembled normal equations, f32 MXU
-Cholesky preconditioner, f64 matrix-free CG), solved to convergence.
+(5,453 EDGE_SE2, 3,500 poses), anchor prior at x0, chordal (rotation
+relaxation) init, then batched LM with the dense32 linear solver: f32 dense
+normal equations + ONE f32 MXU Cholesky per iteration preconditioning a
+short matrix-free f64 CG on the true damped system. Solved to convergence.
 Metric = poses/sec of the steady-state solve, VALID ONLY when the solve
 converges AND matches the float64 ground-truth optimum:
 ATE RMSE <= ATE_GATE_M and final cost within 0.1% of the reference optimum.
@@ -38,6 +39,30 @@ OCTAGON = "/root/reference/test/octagon.g2o"
 # MIT's f32 solution matches the f64 optimum cost to 3e-7 relative while
 # sitting 6 cm away along a flat direction
 ATE_GATE_M = 0.1
+
+# Solve configurations (module-level so tools/warmup.py precompiles the
+# EXACT bench programs into the persistent XLA cache). Tuned on-chip
+# (tools/exp_ate_curve.py): dense32 = f32 MXU Cholesky preconditioner +
+# matrix-free f64 CG; chol_jitter 1e-7 keeps CG at ~5-22 iters/LM-iter;
+# dtol stops when accepted steps shrink below 5 cm-scale (ATE is ~1e-4 m
+# by then on M3500 — ftol gated on CG exactness fires one iteration later).
+_OPTS = None
+
+
+def _opts():
+    global _OPTS
+    if _OPTS is None:
+        from rome_tpu import GNOptions
+
+        _OPTS = dict(
+            big=GNOptions(
+                max_iters=30, linear="dense32", polish_tol=1e-6,
+                polish_iters=60, lam0=1e-6, lam_down=0.1, lam_min=1e-12,
+                chol_jitter=1e-7, dtol=0.05, ftol=1e-9, gtol=1e-8,
+            ),
+            small=GNOptions(max_iters=50, linear="dense", lam0=1e-4, ftol=1e-10),
+        )
+    return _OPTS
 
 
 def _build_graph(path):
@@ -118,14 +143,17 @@ def main():
     enable_compile_cache()  # warmup compiles persist across bench runs
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
-    from rome_tpu import GNOptions
 
-    detail = {"device": str(jax.devices()[0])}
+    opts_big = _opts()["big"]
+    detail = {
+        "device": str(jax.devices()[0]),
+        # record the solve configuration so rows from different configs
+        # can't be silently mixed across rounds
+        "config": {
+            k: v for k, v in vars(opts_big).items() if not k.startswith("_")
+        } | {"chordal_init": True, "schedule": "fused"},
+    }
 
-    opts_big = GNOptions(
-        max_iters=60, linear="mixed", lam0=1e-5, lam_down=0.1, ftol=5e-9,
-        mixed_cg_iters=50,
-    )
     man = _solve_dataset(MANHATTAN, "data/manhattan_gt.npz", opts_big)
     detail["manhattan3500"] = man
 
@@ -136,8 +164,7 @@ def main():
         detail["mit"] = {"error": repr(e)}
 
     try:
-        opts_small = GNOptions(max_iters=50, linear="dense", lam0=1e-4, ftol=1e-10)
-        octa = _solve_dataset(OCTAGON, "data/octagon_gt.npz", opts_small)
+        octa = _solve_dataset(OCTAGON, "data/octagon_gt.npz", _opts()["small"])
         detail["octagon"] = octa
     except Exception as e:
         detail["octagon"] = {"error": repr(e)}

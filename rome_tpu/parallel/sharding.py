@@ -269,14 +269,26 @@ def make_sharded_gn_step(
                 ),
             )
             n_rej_new = jnp.where(ok, 0, n_rej + 1)
-            # rejected near the f32 step floor = converged (code 4) — the
-            # same semantics as the single-device loop. Without it the
-            # device count changes psum reduction order by ulps, which can
-            # flip a final ftol stop into a reject cascade and make an
-            # otherwise-identical solve read "stalled" (the SCALING_r02
-            # 2-device converged:false drift).
+            # rejected-branch convergence. At an f32 cost plateau whether a
+            # trial "improves" is an ulp coin-flip that depends on the psum
+            # reduction order, so the SAME solve can read accept (ftol) on
+            # one device count and reject-cascade ("stalled") on another
+            # (the SCALING_r02 2-device drift). Fix: a REJECTED step whose
+            # cost is within ftol of the plateau is the same convergence
+            # signal as an accepted one — fire code 3 on it. Rejections far
+            # from convergence overshoot by >> ftol and are unaffected.
+            rej_ftol = jnp.logical_and(
+                jnp.isfinite(cost_prev),
+                jnp.logical_and(
+                    jnp.isfinite(cost1),
+                    jnp.abs(cost_prev - cost1)
+                    <= 1e-8 * jnp.maximum(1.0, jnp.abs(cost_prev)),
+                ),
+            )
             rej_code = jnp.where(
-                dnorm < 1e-4, 4, jnp.where(n_rej_new >= 8, 5, 0)
+                rej_ftol,
+                3,
+                jnp.where(dnorm < 1e-4, 4, jnp.where(n_rej_new >= 8, 5, 0)),
             )
             new_code = jnp.where(ok, acc_code, rej_code).astype(jnp.int32)
             new_cost_prev = jnp.where(ok, cost1, cost_prev)

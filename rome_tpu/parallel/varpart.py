@@ -514,7 +514,17 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                     ),
                 )
                 n_rej2 = jnp.where(ok, 0, n_rej + 1)
-                rej = jnp.where(dn < 1e-4, 4, jnp.where(n_rej2 >= 8, 5, 0))
+                # rejected trial within ftol of the plateau = converged
+                # (same reduction-order robustness as parallel.sharding)
+                rej_ftol = jnp.logical_and(
+                    jnp.isfinite(cost_prev),
+                    jnp.abs(cost_prev - c1)
+                    <= ftol * jnp.maximum(1.0, jnp.abs(cost_prev)),
+                )
+                rej = jnp.where(
+                    rej_ftol, 3,
+                    jnp.where(dn < 1e-4, 4, jnp.where(n_rej2 >= 8, 5, 0)),
+                )
                 return (
                     nv, new_lam, it + 1, jnp.where(ok, c1, cost_prev),
                     n_rej2, jnp.where(ok, acc, rej).astype(jnp.int32),

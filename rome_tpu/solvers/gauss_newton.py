@@ -106,6 +106,23 @@ class GNOptions:
     mixed_cg_iters: int = 50      # f64 CG iterations (mixed)
     polish_tol: float = 1e-6      # dense32 f64-CG relative residual tol
     polish_iters: int = 40        # dense32 f64-CG iteration cap
+    # step-size convergence: stop when an ACCEPTED step has |dx| < dtol and
+    # the damping is at/below lam0 (i.e. the quadratic model is trusted).
+    # Unlike xtol/ftol this is NOT gated on CG exactness: near a flat-valley
+    # optimum every accepted inexact-Newton step shrinks geometrically, so a
+    # small accepted step is itself the stop signal — ftol gated on `exact`
+    # can never fire when CG hits its cap at tiny damping (measured on
+    # M3500: 15 extra reject-churn iterations). 0 disables.
+    dtol: float = 0.0
+    # diagonal jitter added to the Jacobi-scaled (unit-diagonal) matrix
+    # before the f32 Cholesky (dense32). Must be big enough that f32 pivots
+    # never go negative at cond ~ 1e8, but every decade above the scaled
+    # lambda_min costs CG contraction: the preconditioned system's kappa is
+    # ~ 1 + jitter/lambda_min (measured on M3500: 2e-6 -> cg ~ 50+ per LM
+    # iter, 3e-7 -> ~25, 1e-7 -> ~20, 3e-8 -> NaN pivots; the LM loop
+    # rejects NaN steps and regrows lam, so even a too-small jitter only
+    # costs iterations, not correctness).
+    chol_jitter: float = 3e-7
     verbose: bool = False
 
 
@@ -306,7 +323,7 @@ class ParametricSolver:
             Hd = H + lam.astype(f32) * jnp.diag(diag)
             d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(Hd), 1e-12))
             Hs = Hd * d[:, None] * d[None, :]
-            Hs = Hs + 2e-6 * jnp.eye(Hs.shape[0], dtype=f32)
+            Hs = Hs + opts.chol_jitter * jnp.eye(Hs.shape[0], dtype=f32)
             L, lower = jax.scipy.linalg.cho_factor(Hs, lower=True)
             fvec = free_vector(gaW, rt).astype(wdt)
 
@@ -569,6 +586,7 @@ class ParametricSolver:
         3: "ftol",
         4: "step_floor",
         5: "stalled",
+        6: "dtol",
     }
 
     def _make_solve_loop(self):
@@ -613,6 +631,12 @@ class ParametricSolver:
                 ftol_hit = jnp.abs(cost_prev - cost1) <= opts.ftol * jnp.maximum(
                     1.0, jnp.abs(cost_prev)
                 )
+                dtol_hit = jnp.logical_and(
+                    jnp.asarray(opts.dtol > 0.0),
+                    jnp.logical_and(
+                        dnorm < opts.dtol, new_lam <= opts.lam0 + 0.0
+                    ),
+                )
                 acc_code = jnp.where(
                     gnorm < opts.gtol,
                     1,
@@ -627,7 +651,7 @@ class ParametricSolver:
                                 ),
                             ),
                             3,
-                            0,
+                            jnp.where(dtol_hit, 6, 0),
                         ),
                     ),
                 )
@@ -723,6 +747,8 @@ class ParametricSolver:
                     opts.ftol * max(1.0, abs(cost_prev))
                 ):
                     code = 3
+                elif opts.dtol > 0 and dn < opts.dtol and float(lam) <= opts.lam0:
+                    code = 6
                 cost_prev = c1
                 n_rej = 0
             else:
@@ -734,7 +760,7 @@ class ParametricSolver:
             if code:
                 break
         it_total = len(hist)
-        converged = code in (1, 2, 3, 4) or (code == 5 and n_rej >= 8 and it_total > 3)
+        converged = code in (1, 2, 3, 4, 6) or (code == 5 and n_rej >= 8 and it_total > 3)
         final_cost = float(self._cost(values, rt))
         stats = SolveStats(
             iterations=it_total,
@@ -787,7 +813,7 @@ class ParametricSolver:
                 )
         # converged semantics match the old host loop: any tolerance hit
         # counts; "stalled" counts only after enough rejects past warmup
-        converged = code in (1, 2, 3, 4) or (
+        converged = code in (1, 2, 3, 4, 6) or (
             code == 5 and int(n_rej) >= 8 and it > 3
         )
         stats = SolveStats(

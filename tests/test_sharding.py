@@ -66,6 +66,30 @@ def test_sharded_step_matches_single(ndev):
 
 
 @pytest.mark.slow
+def test_fused_solve_device_count_invariance():
+    """The fused distributed LM must converge with the SAME reason code and
+    nearly the same iteration count at every device count — psum reduction
+    order must not flip a convergence signal (the SCALING_r02 2-device
+    'stalled' drift)."""
+    import __graft_entry__ as ge
+
+    ga = ge._build_chain_fixture(1024)
+    results = {}
+    for ndev in (1, 2, 4, 8):
+        mesh = Mesh(np.array(jax.devices()[:ndev]).reshape(ndev), ("f",))
+        step, ga_p = make_sharded_gn_step(ga, mesh, pcg_iters=100)
+        lam = jnp.asarray(1e-4, dtype=ga_p.dtype)
+        _v, it, code, fc = step.solve(ga_p.values0, lam)
+        results[ndev] = (int(it), int(code), float(fc))
+    codes = {r[1] for r in results.values()}
+    assert codes == {3}, f"reason codes differ across device counts: {results}"
+    iters = [r[0] for r in results.values()]
+    assert max(iters) - min(iters) <= 4, results
+    costs = [r[2] for r in results.values()]
+    assert max(costs) <= min(costs) * 1.5 + 1e-12, results
+
+
+@pytest.mark.slow
 def test_solve_distributed_converges():
     ga = _fixture()
     from rome_tpu.solvers.linearize import cost_at

@@ -37,7 +37,10 @@ opts = GNOptions(
     max_iters=30, linear="dense32",
     polish_tol=float(os.environ.get("PTOL", "1e-6")),
     polish_iters=int(os.environ.get("PITERS", "50")),
-    lam0=1e-6, lam_down=0.1, lam_min=float(os.environ.get("LAMMIN", "1e-12")),
+    lam0=float(os.environ.get("LAM0", "1e-6")),
+    lam_down=float(os.environ.get("LAMDOWN", "0.1")),
+    lam_min=float(os.environ.get("LAMMIN", "1e-12")),
+    chol_jitter=float(os.environ.get("JITTER", "2e-6")),
     ftol=1e-9, gtol=1e-8,
 )
 solver = ParametricSolver(ga, opts)

@@ -51,7 +51,10 @@ def main(n_poses: int = 1024, out: str = "SCALING_r02.json", platform: str = "cp
                 n_devices=nd,
                 wall_s=round(dt, 4),
                 iters=int(it),
-                converged=int(code) in (1, 3, 4),
+                reason={0: "max_iters", 1: "gtol", 3: "ftol",
+                        4: "step_floor", 5: "stalled"}.get(int(code), "?"),
+                converged=int(code) in (1, 3, 4)
+                or (int(code) == 5 and int(it) > 3),
                 final_cost=fc,
             )
         )
