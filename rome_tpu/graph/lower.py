@@ -224,9 +224,10 @@ def write_back(fg: FactorGraph, ga: GraphArrays, values, solve_key: str = "param
     reference tests assert (testFixedLagFG.jl:113-121).
     """
     for t in ga.type_names:
-        arr = np.asarray(values[t], dtype=np.float64)
         man = ga.manifolds[t]
-        arr = np.asarray(man.normalize(arr))
+        # normalize ON DEVICE, then one transfer — normalize(np_array)
+        # would round-trip host->device->host over the (tunneled) backend
+        arr = np.asarray(man.normalize(values[t]), dtype=np.float64)
         free = np.asarray(ga.free[t])
         for slot, label in enumerate(ga.var_labels[t]):
             if free[slot] == 0.0:

@@ -54,7 +54,7 @@ def _pose2_priors(ga: GraphArrays):
     return out
 
 
-def _solve_spd_delta(A, g, free, dtype):
+def _solve_spd_delta(A, g, free, dtype, matvec=None):
     """GN step for a linear problem: solve A dx = -g with frozen rows pinned
     to dx = 0 (their coupling into free rows is already inside g = A x - b).
 
@@ -62,29 +62,47 @@ def _solve_spd_delta(A, g, free, dtype):
     like diameter^2, so a pure-f32 factorization (plus a 1e-6 jitter) loses
     the init quality entirely (measured on M3500: cost-after-init 2.7e7 in
     f32 vs 1.3e5 exact). Assemble/refine in f64 when x64 is live, factorize
-    in f32 on the MXU: Jacobi scaling + f32 Cholesky + f64 iterative
-    refinement (safeguarded, 3 rounds)."""
+    in f32 on the MXU: Jacobi scaling + f32 Cholesky + f64 CG refinement.
+
+    ``matvec``: optional UNPINNED A@x in refinement precision. The dense
+    (2n)^2 f64 matvec is emulated at ~35 ms on M3500's 7k-wide system;
+    the edge-based O(m) matvec is ~2 ms — it cut the whole chordal init
+    from 1.26 s to the assembly+factorization floor."""
     f = free.astype(A.dtype)
     A = A * (f[:, None] * f[None, :]) + jnp.diag(1.0 - f)
     # symmetric Jacobi scaling onto a unit diagonal
     d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(A), 1e-12))
-    As = A * d[:, None] * d[None, :]
     bs = -g * d
     f32 = jnp.float32
-    As32 = As.astype(f32) + 1e-6 * jnp.eye(As.shape[0], dtype=f32)
+    As32 = (A * d[:, None] * d[None, :]).astype(f32) + 1e-6 * jnp.eye(
+        A.shape[0], dtype=f32
+    )
     L, low = jax.scipy.linalg.cho_factor(As32, lower=True)
     y = jax.scipy.linalg.cho_solve((L, low), bs.astype(f32)).astype(A.dtype)
     if A.dtype != f32:
         # f64 CG on the scaled system, preconditioned by the f32 factor —
         # converges where plain iterative refinement (Richardson) stalls
         # once eps32 * cond exceeds 1 (Laplacian cond ~ diameter^2).
+        if matvec is None:
+            As64 = A * d[:, None] * d[None, :]
+
+            def apply_s(v):
+                return As64 @ v
+        else:
+            one_minus_f = 1.0 - f
+
+            def apply_s(v):
+                x = d * v
+                y_ = f * matvec(f * x) + one_minus_f * x
+                return d * y_
+
         def prec(r):
             return jax.scipy.linalg.cho_solve((L, low), r.astype(f32)).astype(
                 A.dtype
             )
 
         x = y
-        r = bs - As @ x
+        r = bs - apply_s(x)
         z = prec(r)
         p = z
         rz = jnp.vdot(r, z)
@@ -92,7 +110,7 @@ def _solve_spd_delta(A, g, free, dtype):
 
         def body(state):
             x, r, z, p, rz, k = state
-            Ap = As @ p
+            Ap = apply_s(p)
             alpha = rz / jnp.vdot(p, Ap)
             x = x + alpha * p
             r = r - alpha * Ap
@@ -111,7 +129,11 @@ def _solve_spd_delta(A, g, free, dtype):
             cond, body, (x, r, z, p, rz, jnp.zeros((), jnp.int32))
         )
         # safeguard: fall back to the single f32 solve if CG diverged
-        y = jnp.where(jnp.linalg.norm(bs - As @ x) <= jnp.linalg.norm(bs - As @ y), x, y)
+        y = jnp.where(
+            jnp.linalg.norm(bs - apply_s(x)) <= jnp.linalg.norm(bs - apply_s(y)),
+            x,
+            y,
+        )
     return (y * d * f).astype(dtype)
 
 
@@ -203,8 +225,26 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free):
         ii = idx2(idx)
         eye2 = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (idx.shape[0], 2, 2))
         A = A.at[ii[:, :, None], ii[:, None, :]].add(wq[:, None, None] * eye2)
+    def mv_rot(xf):
+        # edge-based A@x (O(m) — the dense f64 matvec is ~35 ms emulated)
+        x = xf.reshape(n, 2)
+        y = jnp.zeros_like(x)
+        for i, j, z, S, w in edges:
+            wq = (S[:, 2, 2] * w) ** 2
+            cz, sz = jnp.cos(z[:, 2]), jnp.sin(z[:, 2])
+            Rz = jnp.stack(
+                [jnp.stack([cz, -sz], -1), jnp.stack([sz, cz], -1)], -2
+            )
+            e = x[j] - jnp.einsum("nij,nj->ni", Rz, x[i])
+            y = y.at[j].add(wq[:, None] * e)
+            y = y.at[i].add(-wq[:, None] * jnp.einsum("nji,nj->ni", Rz, e))
+        for idx, z, S, w in priors:
+            wq = (S[:, 2, 2] * w) ** 2
+            y = y.at[idx].add(wq[:, None] * x[idx])
+        return y.reshape(-1)
+
     f2 = jnp.repeat(free, 2)
-    du = _solve_spd_delta(A, g.reshape(-1), f2, dtype)
+    du = _solve_spd_delta(A, g.reshape(-1), f2, dtype, matvec=mv_rot)
     u = u0 + du.reshape(n, 2)
     th = jnp.where(free > 0, jnp.arctan2(u[:, 1], u[:, 0]), th0)
 
@@ -236,8 +276,26 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free):
         ii = idx2(idx)
         A = A.at[ii[:, :, None], ii[:, None, :]].add(W)
 
+    def mv_tr(xf):
+        x = xf.reshape(n, 2)
+        y = jnp.zeros_like(x)
+        for i, j, z, S, w in edges:
+            St = S[:, :2, :2]
+            W = jnp.einsum("nij,nik->njk", St, St) * (w ** 2)[:, None, None]
+            Ri = R[i]
+            RWRt = jnp.einsum(
+                "nik,nlk->nil", jnp.einsum("nij,njk->nik", Ri, W), Ri
+            )
+            e = jnp.einsum("nij,nj->ni", RWRt, x[j] - x[i])
+            y = y.at[j].add(e).at[i].add(-e)
+        for idx, z, S, w in priors:
+            St = S[:, :2, :2]
+            W = jnp.einsum("nij,nik->njk", St, St) * (w ** 2)[:, None, None]
+            y = y.at[idx].add(jnp.einsum("nij,nj->ni", W, x[idx]))
+        return y.reshape(-1)
+
     f2 = jnp.repeat(free, 2)
-    dt = _solve_spd_delta(A, g.reshape(-1), f2, dtype)
+    dt = _solve_spd_delta(A, g.reshape(-1), f2, dtype, matvec=mv_tr)
     t = t0 + dt.reshape(n, 2)
     # frozen poses stay bit-identical to the input (fixed-lag contract)
     out = jnp.concatenate([t, th[:, None]], axis=-1).astype(out_dtype)
