@@ -25,15 +25,23 @@ import numpy as np
 from rome_tpu.manifolds.base import Manifold
 
 
-# Jitted-kernel cache keyed by (manifold identity, static config). Manifold
-# instances are per-variable-type singletons, so id() is a stable key. The
-# eager fori_loop versions re-traced AND re-compiled a throwaway scan per
-# call — graph init on a 100-pose beehive spent 35 s in XLA compiles on them.
+# Jitted-kernel cache keyed by the manifold's STRUCTURAL signature (type,
+# name, dof, point_dim) — not id(): dynamically constructed ProductGroup
+# manifolds (custom variable types built per graph) would otherwise pin a
+# fresh compiled program per instance for the process lifetime. Structural
+# equality is sound because a manifold's kernels are fully determined by its
+# structure (ProductGroup names encode their parts). The eager fori_loop
+# versions re-traced AND re-compiled a throwaway scan per call — graph init
+# on a 100-pose beehive spent 35 s in XLA compiles on them.
 _KDE_JIT_CACHE: dict = {}
 
 
+def _man_signature(man: Manifold):
+    return (type(man).__name__, man.name, man.dof, man.point_dim)
+
+
 def _cached_kernel(man: Manifold, name: str, build):
-    key = (id(man), name)
+    key = (_man_signature(man), name)
     fn = _KDE_JIT_CACHE.get(key)
     if fn is None:
         fn = jax.jit(build(man))
