@@ -156,8 +156,15 @@ def lower(
         for i, f in enumerate(fs):
             for k, v in enumerate(f.variables):
                 vslots[i, k] = fg.variables[v].slot
+        # batch only the param keys EVERY instance carries: constructors may
+        # attach extra per-factor metadata (e.g. the flux mixture's DT,
+        # fluxmix.py) that the residual kernel never reads — those stay on
+        # the Factor records (and in serialization) but not in the batch
+        common = set(fs[0].params)
+        for f in fs[1:]:
+            common &= set(f.params)
         params = {
-            key: np.stack([f.params[key] for f in fs]) for key in fs[0].params
+            key: np.stack([f.params[key] for f in fs]) for key in sorted(common)
         }
         default_infl = fg.params.inflation
         batches.append(

@@ -276,13 +276,21 @@ def make_sharded_gn_step(
             # (the SCALING_r02 2-device drift). Fix: a REJECTED step whose
             # cost is within ftol of the plateau is the same convergence
             # signal as an accepted one — fire code 3 on it. Rejections far
-            # from convergence overshoot by >> ftol and are unaffected.
+            # from convergence overshoot by >> ftol and are unaffected;
+            # still, a SINGLE symmetric overshoot (undamped step landing at
+            # the mirror point of a quadratic valley, cost1 ~ cost_prev with
+            # |g| large) must not read as converged, so require two
+            # consecutive near-plateau rejections — the damped retry after a
+            # true overshoot descends and resets the counter.
             rej_ftol = jnp.logical_and(
-                jnp.isfinite(cost_prev),
+                n_rej_new >= 2,
                 jnp.logical_and(
-                    jnp.isfinite(cost1),
-                    jnp.abs(cost_prev - cost1)
-                    <= 1e-8 * jnp.maximum(1.0, jnp.abs(cost_prev)),
+                    jnp.isfinite(cost_prev),
+                    jnp.logical_and(
+                        jnp.isfinite(cost1),
+                        jnp.abs(cost_prev - cost1)
+                        <= 1e-8 * jnp.maximum(1.0, jnp.abs(cost_prev)),
+                    ),
                 ),
             )
             rej_code = jnp.where(

@@ -217,7 +217,8 @@ class VarPartitionPlan:
 
 def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                         pcg_iters: int = 100, pcg_tol: float = 1e-8,
-                        max_iters: int = 100, ftol: float = 1e-8):
+                        max_iters: int = 100, ftol: float = 1e-8,
+                        gtol: float = 1e-8):
     """Build the owner-computes fused LM solve over ``mesh``.
 
     Returns ``(solve, plan)`` where ``solve(values, lam0)`` maps global
@@ -508,18 +509,24 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                     1.0, jnp.abs(cost_prev)
                 )
                 acc = jnp.where(
-                    gn < 1e-8, 1,
+                    gn < gtol, 1,
                     jnp.where(
                         jnp.logical_and(jnp.isfinite(cost_prev), ftol_hit), 3, 0
                     ),
                 )
                 n_rej2 = jnp.where(ok, 0, n_rej + 1)
                 # rejected trial within ftol of the plateau = converged
-                # (same reduction-order robustness as parallel.sharding)
+                # (same reduction-order robustness as parallel.sharding) —
+                # gated on >=2 consecutive plateau rejections so a single
+                # symmetric overshoot (cost1 ~ cost_prev, |g| large) can't
+                # fire a false "converged"
                 rej_ftol = jnp.logical_and(
-                    jnp.isfinite(cost_prev),
-                    jnp.abs(cost_prev - c1)
-                    <= ftol * jnp.maximum(1.0, jnp.abs(cost_prev)),
+                    n_rej2 >= 2,
+                    jnp.logical_and(
+                        jnp.isfinite(cost_prev),
+                        jnp.abs(cost_prev - c1)
+                        <= ftol * jnp.maximum(1.0, jnp.abs(cost_prev)),
+                    ),
                 )
                 rej = jnp.where(
                     rej_ftol, 3,
@@ -573,10 +580,12 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
             own, lam, sep_src, sep_own, own_valid, free_own, free_sep, fbs
         )
         out = plan.gather_values({t: np.asarray(v) for t, v in own.items()})
+        from rome_tpu.solvers.gauss_newton import ParametricSolver
+
         stats = dict(
             iterations=int(it),
-            reason={0: "max_iters", 1: "gtol", 3: "ftol", 4: "step_floor",
-                    5: "stalled"}.get(int(code), "?"),
+            # shared code map (gauss_newton is the source of truth)
+            reason=ParametricSolver._REASONS.get(int(code), "?"),
             converged=int(code) in (1, 3, 4) or (int(code) == 5 and int(it) > 3),
             final_cost=float(fc),
             comms=plan.comms_note(),

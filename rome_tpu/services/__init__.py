@@ -9,6 +9,7 @@ from rome_tpu.services.analysis import (
     compare_density,
     coordinates_to_homography,
     homography_to_coordinates,
+    mahalanobis_br,
     malahanobis_br,
     predict_body_br,
     predict_variable_by_factor,
@@ -27,6 +28,7 @@ from rome_tpu.services.scalar_fields import (
 
 __all__ = [
     "predict_body_br",
+    "mahalanobis_br",
     "malahanobis_br",
     "calc_pose_point_bearing_range",
     "predict_variable_by_factor",

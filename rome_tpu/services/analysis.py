@@ -50,11 +50,16 @@ def predict_body_br(fg: FactorGraph, a: str, b: str, solve_key=None):
     return float(np.arctan2(by, bx)), float(np.hypot(bx, by))
 
 
-def malahanobis_br(meas, pred, cov):
+def mahalanobis_br(meas, pred, cov):
     """Mahalanobis distance between measured and predicted (bearing, range)
-    (BearingRangeUtils.jl:23-37)."""
+    (BearingRangeUtils.jl:23-37 — the reference exports this under the
+    misspelling ``malahanobisBR``; we keep that spelling as a compat alias
+    below)."""
     res = np.asarray(meas, dtype=np.float64) - np.asarray(pred, dtype=np.float64)
     return float(np.sqrt(res @ np.linalg.solve(np.asarray(cov, dtype=np.float64), res)))
+
+
+malahanobis_br = mahalanobis_br  # reference-parity alias (sic)
 
 
 def calc_pose_point_bearing_range(pose, point):

@@ -28,6 +28,7 @@ from rome_tpu.solvers.linearize import (
     gradient_from_lins,
     hvp_from_lins,
     linearize_all,
+    normal_eq_entry_values,
     runtime_state,
     structure_signature,
     unflatten_tangent,
@@ -98,7 +99,7 @@ class GNOptions:
     gtol: float = 1e-8
     ftol: float = 1e-10
     xtol: float = 1e-10
-    linear: str = "auto"          # "dense" | "dense32" | "pcg" | "mixed" | "auto"
+    linear: str = "auto"  # "dense"|"dense32"|"ndchol"|"pcg"|"mixed"|"auto"
     dense_threshold: int = 3000   # total dof below which dense Cholesky wins
     pcg_iters: int = 250
     pcg_tol: float = 1e-8
@@ -123,6 +124,9 @@ class GNOptions:
     # rejects NaN steps and regrows lam, so even a too-small jitter only
     # costs iterations, not correctness).
     chol_jitter: float = 3e-7
+    # ndchol: leaf-region size (variables) of the nested-dissection tree —
+    # smaller leaves = less densification fill, more tree levels
+    nd_leaf: int = 16
     verbose: bool = False
 
 
@@ -156,16 +160,74 @@ class ParametricSolver:
 
         self._ga64 = copy.copy(ga)
         self._ga64.dtype = jnp.float64
-        # dense32 carries values in f64 (linearize/cost are O(nnz); only the
-        # dense factorization drops to f32)
+        # dense32/ndchol carry values in f64 (linearize/cost are O(nnz);
+        # only the factorization drops to f32)
         self._use64 = (
-            self.linear == "dense32"
+            self.linear in ("dense32", "ndchol")
             and bool(jax.config.jax_enable_x64)
             and ga.dtype == jnp.float32
         )
         self._rt0 = runtime_state(ga)
-        self._step = jax.jit(self._make_step())
+        # ndchol: one-time host symbolic analysis bound to THIS graph's
+        # connectivity; solve() re-derives it (hash-cached) when handed an
+        # rt from a different-connectivity graph
+        self._sym = self._symbolic_for(ga.batches) if self.linear == "ndchol" else None
+        self._sym_cache = {}
+        self._alt_programs = {}
+        self._step = jax.jit(self._make_step(self._sym))
         self._cost = jax.jit(lambda values, rt: cost_at(self.ga, values, rt))
+
+    def _symbolic_for(self, batches_or_vslots):
+        """Host symbolic factorization for a connectivity (list of batches
+        or of numpy vslots arrays, in ga.batches order)."""
+        from rome_tpu.solvers.sparse import symbolic_factor
+
+        ga = self.ga
+        if hasattr(batches_or_vslots[0], "vslots"):
+            vs = [np.asarray(b.vslots) for b in batches_or_vslots]
+        else:
+            vs = [np.asarray(v) for v in batches_or_vslots]
+        dofs = {t: ga.manifolds[t].dof for t in ga.type_names}
+        specs = [(b.vtypes, v) for b, v in zip(ga.batches, vs)]
+        sym = symbolic_factor(
+            ga.type_names, ga.counts, dofs, specs, leaf=self.opts.nd_leaf
+        )
+        sym._dev = sym.device_arrs()
+        return sym
+
+    def _sym_for_rt(self, rt):
+        """ndchol symbolic for the rt actually being solved (hash-cached)."""
+        if self.linear != "ndchol":
+            return None
+        vs = [np.asarray(v) for v in rt["vslots"]]
+        key = tuple(v.tobytes() for v in vs)
+        base_key = tuple(np.asarray(v).tobytes() for v in self._rt0["vslots"])
+        if key == base_key:
+            return self._sym
+        sym = self._sym_cache.get(key)
+        if sym is None:
+            sym = self._symbolic_for(vs)
+            self._sym_cache[key] = sym
+        return sym
+
+    def _programs_for(self, sym):
+        """(jitted step, jitted fused loop) specialized to a symbolic plan.
+
+        The default plan uses the instance programs; alternates (different
+        connectivity handed to a cached solver) get their own jit entries."""
+        if sym is None or sym is self._sym:
+            if not hasattr(self, "_solve_loop"):
+                self._solve_loop = jax.jit(self._make_solve_loop(self._sym))
+            return self._step, self._solve_loop
+        pkey = (sym.plan, sym.ea_pairs, sym.fea_pairs)
+        progs = self._alt_programs.get(pkey)
+        if progs is None:
+            progs = (
+                jax.jit(self._make_step(sym)),
+                jax.jit(self._make_solve_loop(sym)),
+            )
+            self._alt_programs[pkey] = progs
+        return progs
 
     @classmethod
     def cached(cls, ga: GraphArrays, opts: GNOptions = None):
@@ -181,17 +243,17 @@ class ParametricSolver:
         return solver
 
     # -- one LM iteration as a pure function --------------------------------
-    def _make_step(self):
+    def _make_step(self, sym=None):
         ga = self.ga
         opts = self.opts
         # f64 refinement needs x64 enabled in this process (bench.py and the
         # CPU test mesh enable it); otherwise the cast is a silent f32 no-op
         _X64_OK = bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32
-        # dense32 carries VALUES and linearizations in f64 (O(nnz) emulated
-        # f64 — cheap) and keeps only the dense factorization in f32: an
+        # dense32/ndchol carry VALUES and linearizations in f64 (O(nnz)
+        # emulated f64 — cheap) and keep only the factorization in f32: an
         # f32 state+residual path caps cost resolution at ~1e-4 relative,
         # which on M3500's flat valley is a 0.15 m ATE floor (measured).
-        use64 = self.linear == "dense32" and _X64_OK
+        use64 = self.linear in ("dense32", "ndchol") and _X64_OK
         gaW = self._ga64 if use64 else ga
 
         def boxplus_all(values, delta, rt):
@@ -345,15 +407,30 @@ class ParametricSolver:
                 ) * fvec
 
             # CG on the true damped system, preconditioned by the f32
-            # factor. Plain Richardson refinement does NOT contract here:
-            # eps32 * cond(Hs) > 1 at M3500's conditioning, so refined
-            # steps stay biased and LM crawls (measured: 40 iterations of
-            # ~0.01-cost creep). CG only needs the preconditioner to be
-            # SPD-ish and recovers the exact step in a handful of
-            # iterations; the matvec is matrix-free over the factor batches
-            # (O(nnz) — ~2 ms in emulated f64 at M3500 scale, vs ~70 ms
-            # for a dense f64 matvec).
+            # factor (see cg_polish).
             b = -flatten_tangent(gaW, g)
+            x, r, k = cg_polish(minv, hD, b)
+            delta = unflatten_tangent(gaW, x)
+            bn = jnp.linalg.norm(b) + 1e-300
+            exact = jnp.linalg.norm(r) <= opts.polish_tol * bn
+            # model reduction for the gain ratio, free from CG state:
+            # H delta = b - r and b = -g  =>
+            # pred = -(g.d + 0.5 d.Hd) = 0.5 b.d + 0.5 d.r
+            pred = 0.5 * (jnp.vdot(b, x) + jnp.vdot(x, r))
+            return delta, g, pstate_empty, exact, {
+                "pred": pred, "cg_iters": k,
+            }
+
+        def cg_polish(minv, hD, b):
+            """CG on the true damped system, preconditioned by the fresh
+            f32 factorization. Plain Richardson refinement does NOT
+            contract here: eps32 * cond(Hs) > 1 at M3500's conditioning, so
+            refined steps stay biased and LM crawls (measured: 40
+            iterations of ~0.01-cost creep). CG only needs the
+            preconditioner to be SPD-ish and recovers the exact step in a
+            handful of iterations; the matvec is matrix-free over the
+            factor batches (O(nnz) — ~2 ms in emulated f64 at M3500 scale,
+            vs ~70 ms for a dense f64 matvec). Returns (x, residual, k)."""
             bn = jnp.linalg.norm(b) + 1e-300
             x = minv(b)
             r = b - hD(x)
@@ -383,11 +460,64 @@ class ParametricSolver:
             x, r, _z, _p, _rz, k = jax.lax.while_loop(
                 cg_cond, cg_body, (x, r, z, p, rz, jnp.zeros((), jnp.int32))
             )
+            return x, r, k
+
+        def solve_ndchol(lins, lam, rt, pstate):
+            """Round-4 flagship large-graph solver: nested-dissection
+            multifrontal block-sparse Cholesky (O(~nnz·front) per iteration
+            instead of the dense O(n^3)) preconditioning the same short
+            matrix-free f64 CG polish as dense32.
+
+            The symbolic structure (closed-over `sym` plan + index maps in
+            rt["ndchol"]) turns the factorization into ~log(n) level-batched
+            dense partial Cholesky stages; shallow per-front dependency
+            chains also keep f32 rounding accumulation far below the dense
+            factorization's, so a smaller jitter (= tighter preconditioner,
+            fewer CG iterations) is numerically safe. Reference contract:
+            the Bayes-tree clique solve (Slam.jl:261, SURVEY.md §3.4)."""
+            from rome_tpu.solvers.sparse.ndchol import (
+                ndchol_assemble, ndchol_factorize, ndchol_solve,
+            )
+
+            f32 = jnp.float32
+            wdt = gaW.dtype
+            nd = rt["ndchol"]
+            vals = normal_eq_entry_values(gaW, lins, dtype=f32)
+            fvec32 = free_vector(gaW, rt).astype(f32)
+            lam32 = lam.astype(f32)
+            diag_H = (
+                jnp.zeros(sym.D, f32)
+                .at[nd["diag_dst"]]
+                .add(vals[nd["diag_src"]] * fvec32[nd["diag_dst"]] ** 2)
+            )
+            dv = jax.lax.rsqrt(jnp.maximum(diag_H * (1.0 + lam32), 1e-12))
+            df = dv * fvec32
+            diag_add = fvec32 * (
+                lam32 / (1.0 + lam32) + opts.chol_jitter
+            ) + (1.0 - fvec32)
+            Ws = ndchol_assemble(sym, nd, vals, df, diag_add)
+            Linvs, L21s, _L11s = ndchol_factorize(sym, nd, Ws)
+            dfW = df.astype(wdt)
+
+            def minv(r):
+                y = ndchol_solve(sym, nd, Linvs, L21s, r.astype(f32) * df)
+                return (y * df).astype(wdt)
+
+            g = gradient_from_lins(gaW, lins, rt)
+            fvecW = free_vector(gaW, rt).astype(wdt)
+            diagW = diag_H.astype(wdt)
+            lamW = lam.astype(wdt)
+
+            def hD(x):
+                v = unflatten_tangent(gaW, x)
+                out = hvp_from_lins(gaW, lins, v, rt)
+                return (flatten_tangent(gaW, out) + lamW * diagW * x) * fvecW
+
+            b = -flatten_tangent(gaW, g)
+            x, r, k = cg_polish(minv, hD, b)
             delta = unflatten_tangent(gaW, x)
+            bn = jnp.linalg.norm(b) + 1e-300
             exact = jnp.linalg.norm(r) <= opts.polish_tol * bn
-            # model reduction for the gain ratio, free from CG state:
-            # H delta = b - r and b = -g  =>
-            # pred = -(g.d + 0.5 d.Hd) = 0.5 b.d + 0.5 d.r
             pred = 0.5 * (jnp.vdot(b, x) + jnp.vdot(x, r))
             return delta, g, pstate_empty, exact, {
                 "pred": pred, "cg_iters": k,
@@ -502,6 +632,7 @@ class ParametricSolver:
         linear_solve = {
             "dense": solve_dense,
             "dense32": solve_dense32,
+            "ndchol": solve_ndchol,
             "pcg": solve_pcg,
             "mixed": solve_mixed,
         }[self.linear]
@@ -589,19 +720,19 @@ class ParametricSolver:
         6: "dtol",
     }
 
-    def _make_solve_loop(self):
+    def _make_solve_loop(self, sym=None):
         """The whole LM solve as ONE jitted XLA program: lax.while_loop over
         LM iterations with the accept/convergence logic in-graph. A Python
         outer loop costs a host<->device round-trip per iteration — over a
         remote-tunnel TPU that dominated solve time (~0.5 s/iter on
         Manhattan-3500)."""
         ga, opts = self.ga, self.opts
-        step = self._make_step()
+        step = self._make_step(sym)
         max_iters = int(opts.max_iters)
         _x64 = bool(jax.config.jax_enable_x64) and ga.dtype == jnp.float32
         cdt = jnp.float64 if _x64 else ga.dtype
-        # working dtype of values/gradients (dense32 carries f64 values)
-        wdt = jnp.float64 if (self.linear == "dense32" and _x64) else ga.dtype
+        # working dtype of values/gradients (dense32/ndchol carry f64)
+        wdt = jnp.float64 if self._use64 else ga.dtype
         step_floor = 1e-4 if wdt == jnp.float32 else 1e-9
 
         def loop(values, lam, rt):
@@ -711,6 +842,11 @@ class ParametricSolver:
         if self._use64:
             values = {t: jnp.asarray(v, jnp.float64) for t, v in values.items()}
         rt = rt if rt is not None else self._rt0
+        step_fn = self._step
+        if self.linear == "ndchol":
+            symr = self._sym_for_rt(rt)
+            rt = {**rt, "ndchol": symr._dev}
+            step_fn, _ = self._programs_for(symr)
         lam = jnp.asarray(opts.lam0, dtype=ga.dtype)
         hist = []
         cost_prev = float("inf")
@@ -719,7 +855,7 @@ class ParametricSolver:
         gnorm = float("nan")
         pstate = self._pstate0()
         for it in range(int(opts.max_iters)):
-            new_values, lam, c0, c1, gn, dn, ok, pstate, exact, cg_k = self._step(
+            new_values, lam, c0, c1, gn, dn, ok, pstate, exact, cg_k = step_fn(
                 values, lam, rt, pstate
             )
             # ONE device_get for all step scalars — five separate float()
@@ -784,9 +920,15 @@ class ParametricSolver:
             values = {t: jnp.asarray(v, jnp.float64) for t, v in values.items()}
         rt = rt if rt is not None else self._rt0
         lam = jnp.asarray(opts.lam0, dtype=ga.dtype)
-        if not hasattr(self, "_solve_loop"):
-            self._solve_loop = jax.jit(self._make_solve_loop())
-        values, it, code, n_rej, gnorm, final_cost, hist = self._solve_loop(
+        if self.linear == "ndchol":
+            symr = self._sym_for_rt(rt)
+            rt = {**rt, "ndchol": symr._dev}
+            _step, loop_fn = self._programs_for(symr)
+        else:
+            if not hasattr(self, "_solve_loop"):
+                self._solve_loop = jax.jit(self._make_solve_loop())
+            loop_fn = self._solve_loop
+        values, it, code, n_rej, gnorm, final_cost, hist = loop_fn(
             values, lam, rt
         )
         it = int(it)

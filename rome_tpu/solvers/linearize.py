@@ -228,6 +228,23 @@ def free_vector(ga: GraphArrays, rt=None):
     )
 
 
+def normal_eq_entry_values(ga: GraphArrays, lins, dtype=None):
+    """Flat vector of every J^T J entry contribution, in the fixed order the
+    sparse symbolic phase indexes (sparse/symbolic.py entry_coords): per
+    batch, per (k, l) slot pair, the (n, dk, dl) block row-major. The ndchol
+    solver scatters these straight into multifrontal fronts — no dense H."""
+    dtype = dtype or ga.dtype
+    vals = []
+    for batch, _r0, Js, _vslots in lins:
+        Jd = tuple(J.astype(dtype) for J in Js)
+        for k in range(len(batch.vtypes)):
+            for l in range(len(batch.vtypes)):
+                vals.append(
+                    jnp.einsum("nij,nik->njk", Jd[k], Jd[l]).reshape(-1)
+                )
+    return jnp.concatenate(vals)
+
+
 def dense_normal_eqs(ga: GraphArrays, lins, dtype=None, rt=None):
     """Assemble dense H = J^T J and g = J^T r over the global tangent.
 

@@ -37,7 +37,20 @@ _KDE_JIT_CACHE: dict = {}
 
 
 def _man_signature(man: Manifold):
-    return (type(man).__name__, man.name, man.dof, man.point_dim)
+    from rome_tpu.manifolds.base import ProductGroup
+
+    # ProductGroup: recurse over parts and IGNORE the display name — a
+    # user-supplied name override must not let two structurally different
+    # products share kernels compiled for the wrong manifold. Unknown
+    # parameterized Manifold subclasses fall back to id() (correct, merely
+    # uncached across instances).
+    if isinstance(man, ProductGroup):
+        return ("ProductGroup",) + tuple(
+            _man_signature(p) for p in man.parts
+        )
+    base = (type(man).__name__, man.name, man.dof, man.point_dim)
+    core = type(man).__module__.startswith("rome_tpu.manifolds")
+    return base if core else base + (id(man),)
 
 
 def _cached_kernel(man: Manifold, name: str, build):

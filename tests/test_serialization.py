@@ -163,6 +163,169 @@ def test_pack_factor_roundtrip():
     np.testing.assert_array_equal(f2.params["sqrt_info"], f.params["sqrt_info"])
 
 
+def test_pack_every_registered_factor_type():
+    """Registry-wide packing sweep — the analogue of the reference's
+    exhaustive converter test (testpackingconverters.jl sweeps the whole
+    factor library). Every registered factor type must round-trip a factor
+    record bit-exactly (params arrays, measurement dists, metadata)."""
+    import json
+
+    # pull in the lazily-registered extension factor families
+    import rome_tpu.factors.fluxmix  # noqa: F401
+    import rome_tpu.factors.ode  # noqa: F401
+    import rome_tpu.services.scalar_fields  # noqa: F401
+    from rome_tpu.factors.base import Factor, get_factor_type, list_factor_types
+
+    names = list_factor_types()
+    assert len(names) >= 45
+    rng = np.random.default_rng(7)
+    for name in names:
+        ft = get_factor_type(name)
+        zd = max(ft.zdim, 1)
+        f = Factor(
+            ftype=ft,
+            variables=tuple(f"v{i}" for i in range(ft.arity)),
+            params={
+                "z": rng.normal(size=zd),
+                "sqrt_info": np.eye(zd) + 0.01 * rng.normal(size=(zd, zd)),
+                "extra_blob": rng.normal(size=(3, 4)),
+            },
+            dists=(MvNormal(rng.normal(size=zd), np.eye(zd)),),
+            label=f"f_{name}",
+            multihypo=None,
+            nullhypo=0.125,
+            solvable=1,
+            tags=("TEST",),
+            timestamp_ns=123456789,
+            inflation=3.5,
+        )
+        doc = json.loads(json.dumps(pack_factor(f)))  # full JSON round-trip
+        f2 = unpack_factor(doc)
+        assert f2.ftype is ft, name
+        assert f2.variables == f.variables
+        assert f2.nullhypo == f.nullhypo
+        assert f2.inflation == f.inflation
+        assert f2.timestamp_ns == f.timestamp_ns
+        for k in f.params:
+            np.testing.assert_array_equal(f2.params[k], f.params[k])
+        np.testing.assert_array_equal(
+            np.asarray(f2.dists[0].mean()), np.asarray(f.dists[0].mean())
+        )
+
+
+def test_pack_extended_distributions():
+    """NN odometry predictors, scalar-field level-set beliefs, and particle
+    (manifold KDE) beliefs round-trip — closing the round-3 gap where these
+    raised TypeError (reference packs even the NN mixture,
+    RoMEFluxExt.jl:62-70)."""
+    import json
+
+    from rome_tpu.factors.fluxmix import NNOdoPredictor, build_pose2_odo_nn_01
+    from rome_tpu.manifolds.base import SE2, TranslationGroup, ProductGroup
+    from rome_tpu.services.scalar_fields import LevelSetGridNormal
+    from rome_tpu.solvers.multimodal.kde import ManifoldKernelDensity
+    from rome_tpu.distributions import Mixture
+
+    rng = np.random.default_rng(3)
+
+    def rt(d):
+        return unpack_distribution(json.loads(json.dumps(pack_distribution(d))))
+
+    nn = build_pose2_odo_nn_01(*[rng.normal(size=s) for s in
+                                 [(4, 8), (8,), (8, 48), (8,), (2, 8), (2,)]])
+    d = NNOdoPredictor(nn, rng.normal(size=(25, 4)), jitter=2e-3)
+    d2 = rt(d)
+    assert type(d2) is NNOdoPredictor and d2.jitter == d.jitter
+    for k in nn:
+        np.testing.assert_array_equal(d2.nn[k], d.nn[k])
+    np.testing.assert_array_equal(np.asarray(d2.mean()), np.asarray(d.mean()))
+
+    img = rng.random((16, 12))
+    ls = LevelSetGridNormal(
+        img, (np.linspace(0, 10, 16), np.linspace(0, 8, 12)), 0.4, 0.1,
+        sigma_scale=2.0, N=500,
+    )
+    ls2 = rt(ls)
+    assert type(ls2) is LevelSetGridNormal
+    np.testing.assert_array_equal(ls2.img, ls.img)
+    np.testing.assert_allclose(ls2.mean(), ls.mean())
+    np.testing.assert_allclose(ls2.cov(), ls.cov())
+
+    for man in [SE2(), TranslationGroup(3),
+                ProductGroup([SE2(), TranslationGroup(2)])]:
+        pts = rng.normal(size=(50, man.point_dim))
+        pts = np.asarray(man.normalize(pts))
+        kde = ManifoldKernelDensity.from_points(man, pts)
+        kde2 = rt(kde)
+        assert type(kde2) is ManifoldKernelDensity
+        # bit-exact vs the KDE's own stored (f32) particle array
+        np.testing.assert_array_equal(
+            np.asarray(kde2.points), np.asarray(kde.points)
+        )
+        np.testing.assert_allclose(
+            np.asarray(kde2.bandwidth), np.asarray(kde.bandwidth)
+        )
+        assert kde2.manifold.point_dim == man.point_dim
+        assert kde2.manifold.dof == man.dof
+
+    # mixture CONTAINING an NN predictor (the fluxmix measurement shape)
+    mix = Mixture([NNOdoPredictor(nn, np.zeros((25, 4))),
+                   MvNormal(np.zeros(3), np.eye(3))], [0.4, 0.6])
+    mix2 = rt(mix)
+    assert type(mix2.components[0]) is NNOdoPredictor
+
+
+def test_zoo_with_ext_factors_roundtrip(tmp_path):
+    """A saved graph carrying flux-mixture odometry and a level-set partial
+    prior reloads with its measurement beliefs intact."""
+    from rome_tpu.factors.fluxmix import MixtureFluxPose2Pose2, build_pose2_odo_nn_01
+    from rome_tpu.services.scalar_fields import (
+        LevelSetGridNormal, PartialPriorPassThrough,
+    )
+
+    rng = np.random.default_rng(11)
+    fg = FactorGraph()
+    fg.params.graphinit = False
+    for i in range(3):
+        fg.add_variable(f"x{i}", Pose2)
+    fg.add_factor(["x0"], PriorPose2(MvNormal([0, 0, 0], [0.1, 0.1, 0.05])))
+    nn = build_pose2_odo_nn_01(*[rng.normal(size=s) * 0.1 for s in
+                                 [(4, 8), (8,), (8, 48), (8,), (2, 8), (2,)]])
+    fg.add_factor(
+        ["x0", "x1"],
+        MixtureFluxPose2Pose2(fluxmodels=nn, data=rng.normal(size=(25, 4))),
+    )
+    fg.add_factor(
+        ["x1", "x2"], Pose2Pose2(MvNormal([1, 0, 0], np.eye(3) * 0.01))
+    )
+    img = rng.random((8, 8))
+    ls = LevelSetGridNormal(
+        img, (np.linspace(0, 4, 8), np.linspace(0, 4, 8)), 0.5, 0.2
+    )
+    fg.add_factor(["x2"], PartialPriorPassThrough(ls, (1, 2), "Pose2"))
+    fg.init_all()
+
+    path = save_dfg(fg, str(tmp_path / "ext.tar.gz"))
+    fg2 = load_dfg(path)
+    assert fg2.lsf() == fg.lsf()
+    for label in fg.lsf():
+        a, b = fg.factors[label], fg2.factors[label]
+        for k in a.params:
+            np.testing.assert_array_equal(a.params[k], b.params[k])
+        for da, db in zip(a.dists, b.dists):
+            assert type(da) is type(db)
+            np.testing.assert_allclose(
+                np.asarray(da.mean()), np.asarray(db.mean())
+            )
+    # parametric solve identity on the reloaded graph
+    r1 = solve_graph_parametric(fg, init=False)
+    r2 = solve_graph_parametric(fg2, init=False)
+    for label in fg.ls():
+        np.testing.assert_allclose(
+            fg.get_coords(label), fg2.get_coords(label), atol=1e-5
+        )
+
+
 def test_load_unknown_format(tmp_path):
     p = tmp_path / "bogus.json"
     p.write_text('{"format": "something_else"}')

@@ -31,6 +31,7 @@ def main(n_poses: int = 1024, out: str = "SCALING_r02.json", platform: str = "cp
 
     import __graft_entry__ as ge
     from rome_tpu.parallel.sharding import make_sharded_gn_step
+    from rome_tpu.solvers.gauss_newton import ParametricSolver
     from rome_tpu.solvers.linearize import cost_at
 
     ga = ge._build_chain_fixture(n_poses)
@@ -51,8 +52,7 @@ def main(n_poses: int = 1024, out: str = "SCALING_r02.json", platform: str = "cp
                 n_devices=nd,
                 wall_s=round(dt, 4),
                 iters=int(it),
-                reason={0: "max_iters", 1: "gtol", 3: "ftol",
-                        4: "step_floor", 5: "stalled"}.get(int(code), "?"),
+                reason=ParametricSolver._REASONS.get(int(code), "?"),
                 converged=int(code) in (1, 3, 4)
                 or (int(code) == 5 and int(it) > 3),
                 final_cost=fc,
