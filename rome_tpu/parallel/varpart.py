@@ -115,6 +115,15 @@ class VarPartitionPlan:
                 own[d, m] = 1.0
             self.sep_src[t] = src
             self.sep_own[t] = own
+        # inverse map for the Schur solve: own-block position -> separator
+        # slot (-1 = interior)
+        self.own2sep = {}
+        for t in tn:
+            o2s = np.full((ndev, self.n_loc[t]), -1, np.int64)
+            for d in range(ndev):
+                m = self.sep_own[t][d] > 0
+                o2s[d, self.sep_src[t][d, m]] = np.nonzero(m)[0]
+            self.own2sep[t] = o2s
 
         # ---- own-block stacking (values / free / valid) --------------------
         # own_gids[t]: (ndev, n_loc) global variable id feeding each own row
@@ -236,6 +245,7 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
 
     sep_src = {t: dev_sharded(plan.sep_src[t]) for t in tn}
     sep_own = {t: dev_sharded(plan.sep_own[t].astype(dtype)) for t in tn}
+    own2sep = {t: dev_sharded(plan.own2sep[t]) for t in tn}
     own_valid = {t: dev_sharded(plan.own_valid[t].astype(dtype)) for t in tn}
     # free mask over own rows (frozen vars + padding pinned)
     free_own = {
@@ -273,11 +283,12 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
         )
 
     def build():
-        def core(own_vals, lam, sep_srcS, sep_ownS, own_validS, free_ownS,
-                 free_sepS, fbsS):
+        def core(own_vals, lam, sep_srcS, sep_ownS, own2sepS, own_validS,
+                 free_ownS, free_sepS, fbsS):
             # all routing tables arrive sharded with a leading size-1 axis
             sep_srcL = {t: _sq(sep_srcS[t]) for t in tn}
             sep_ownL = {t: _sq(sep_ownS[t]) for t in tn}
+            own2sepL = {t: _sq(own2sepS[t]) for t in tn}
             free_ownL = {t: _sq(free_ownS[t]) for t in tn}
             validL = {t: _sq(own_validS[t]) for t in tn}
             fbsL = [
@@ -419,88 +430,181 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                     )
                 return out
 
+            # static own-block scalar layout for the subdomain preconditioner
+            base_own = {}
+            D_own = 0
+            for t in tn:
+                base_own[t] = D_own
+                D_own += n_loc[t] * manifolds[t].dof
+
+            # separator scalar layout (GLOBAL, replicated across devices)
+            base_sep = {}
+            D_sep = 0
+            for t in tn:
+                base_sep[t] = D_sep
+                D_sep += plan.n_sep[t] * manifolds[t].dof
+            DT = D_own + D_sep  # [interior-own | separator] + dump row
+
+            def slot_offsets(vsl_k, t):
+                """Local slot column -> scalar offsets (n, dof) into the
+                [interior | separator] layout; frozen/pad rows -> dump DT."""
+                d = manifolds[t].dof
+                s = vsl_k
+                idx = jnp.minimum(s, n_loc[t] - 1)
+                is_rem = s >= n_loc[t]
+                o2s = own2sepL[t][idx]
+                sidx = jnp.where(is_rem, s - n_loc[t], o2s)
+                is_sep = sidx >= 0
+                o_int = base_own[t] + idx * d
+                o_sep = D_own + base_sep[t] + jnp.maximum(sidx, 0) * d
+                o = jnp.where(is_sep, o_sep, o_int)
+                act = jnp.where(
+                    is_rem,
+                    free_sepS[t][jnp.maximum(sidx, 0)],
+                    free_ownL[t][idx],
+                )
+                return jnp.where(
+                    (act > 0)[:, None],
+                    o[:, None] + jnp.arange(d)[None, :],
+                    DT,
+                )
+
+            def schur_solve(lins, lam):
+                """EXACT damped-normal-equations solve with ONE fused psum:
+                each device eliminates its interior variables locally
+                (dense Cholesky — interiors touch only local factors by
+                construction), forms its Schur-complement contribution on
+                the GLOBAL separator set, one psum sums
+                [S_d | reduced-rhs | separator-gradient | interior |g|^2],
+                and every device solves the small replicated separator
+                system directly. No CG, no per-iteration collective chatter
+                — this is what cuts MULTIPROC_r03's ~9000 collectives/solve
+                to ~7 per LM iteration. Reference analogue: upward clique
+                elimination to the Bayes-tree root followed by the root
+                solve (Slam.jl:261 solveTree!), with devices as cliques."""
+                rows_all, cols_all, vals_all = [], [], []
+                g_idx_all, g_val_all = [], []
+                for vtypes, vsl, r0, Js in lins:
+                    offs = [
+                        slot_offsets(vsl[:, k], t)
+                        for k, t in enumerate(vtypes)
+                    ]
+                    for k in range(len(vtypes)):
+                        g_idx_all.append(offs[k].reshape(-1))
+                        g_val_all.append(
+                            jnp.einsum("nij,ni->nj", Js[k], r0).reshape(-1)
+                        )
+                        for l in range(len(vtypes)):
+                            blk = jnp.einsum("nij,nik->njk", Js[k], Js[l])
+                            n, dk, dl = blk.shape
+                            rows_all.append(
+                                jnp.broadcast_to(
+                                    offs[k][:, :, None], (n, dk, dl)
+                                ).reshape(-1)
+                            )
+                            cols_all.append(
+                                jnp.broadcast_to(
+                                    offs[l][:, None, :], (n, dk, dl)
+                                ).reshape(-1)
+                            )
+                            vals_all.append(blk.reshape(-1))
+                M = jnp.zeros((DT + 1, DT + 1), dtype)
+                M = M.at[
+                    jnp.concatenate(rows_all), jnp.concatenate(cols_all)
+                ].add(jnp.concatenate(vals_all))
+                gl = jnp.zeros((DT + 1,), dtype)
+                gl = gl.at[jnp.concatenate(g_idx_all)].add(
+                    jnp.concatenate(g_val_all)
+                )
+                M = M[:DT, :DT]
+                gl = gl[:DT]
+                # activity masks from the raw diagonal (inactive = dumped:
+                # frozen / padding / not present on this device)
+                diag0 = jnp.diag(M)
+                int_act = (diag0[:D_own] > 0).astype(dtype)
+                # damping on the LOCAL diagonal: interiors are fully local
+                # (= global); separator shares sum to the global diagonal
+                # through the same psum that sums S_d
+                M = M + lam * jnp.diag(diag0)
+                A_II = M[:D_own, :D_own]
+                A_II = A_II + jnp.diag(1.0 - int_act)
+                dI = jax.lax.rsqrt(jnp.maximum(jnp.diag(A_II), 1e-12))
+                As = A_II * dI[:, None] * dI[None, :] + 1e-6 * jnp.eye(
+                    D_own, dtype=dtype
+                )
+                L, lower = jax.scipy.linalg.cho_factor(As, lower=True)
+                A_IS = M[:D_own, D_own:]
+                U = dI[:, None] * A_IS                      # (D_own, D_sep)
+                Y = jax.scipy.linalg.cho_solve((L, lower), U)
+                b_I = -gl[:D_own] * int_act
+                b_S = -gl[D_own:]
+                v = jax.scipy.linalg.cho_solve((L, lower), dI * b_I)
+                S_d = M[D_own:, D_own:] - U.T @ Y           # (D_sep, D_sep)
+                r_d = b_S - U.T @ v
+                gI_sq = jnp.sum((gl[:D_own] * int_act) ** 2)
+                # ---- the one collective: fused Schur reduction ----
+                pack = jnp.concatenate(
+                    [S_d.reshape(-1), r_d, gl[D_own:], gI_sq[None]]
+                )
+                pack = jax.lax.psum(pack, axis)
+                S = pack[: D_sep * D_sep].reshape(D_sep, D_sep)
+                r_S = pack[D_sep * D_sep : D_sep * D_sep + D_sep]
+                g_S = pack[D_sep * D_sep + D_sep : -1]
+                gnorm = jnp.sqrt(pack[-1] + jnp.sum(g_S**2))
+                # replicated separator solve (identical on every device)
+                sep_act = (jnp.abs(jnp.diag(S)) > 0).astype(dtype)
+                S = S + jnp.diag(1.0 - sep_act)
+                dS = jax.lax.rsqrt(jnp.maximum(jnp.diag(S), 1e-12))
+                Ss = S * dS[:, None] * dS[None, :] + 1e-6 * jnp.eye(
+                    D_sep, dtype=dtype
+                )
+                Ls, lows = jax.scipy.linalg.cho_factor(Ss, lower=True)
+                x_S = dS * jax.scipy.linalg.cho_solve((Ls, lows), dS * r_S)
+                x_S = x_S * sep_act
+                # back-substitute interiors (local)
+                x_I = dI * jax.scipy.linalg.cho_solve(
+                    (L, lower), dI * (b_I - A_IS @ x_S)
+                )
+                x_I = x_I * int_act
+                # scatter back to (n_loc, dof) per type
+                delta = {}
+                for t in tn:
+                    d = manifolds[t].dof
+                    xi = x_I[base_own[t] : base_own[t] + n_loc[t] * d].reshape(
+                        n_loc[t], d
+                    )
+                    o2s = own2sepL[t]
+                    sbase = D_own - D_own + base_sep[t]  # offset into x_S
+                    gidx = sbase + jnp.maximum(o2s, 0)[:, None] * d + jnp.arange(d)[None, :]
+                    xs = jnp.where((o2s >= 0)[:, None], x_S[gidx], 0.0)
+                    delta[t] = (xi + xs) * free_ownL[t][:, None]
+                return delta, gnorm
+
             def gn_step(own, lam):
                 vloc = with_sep(own, sep_exchange(own))
                 cost0, lins = cost_of(vloc)
-                g = grad_of(lins)
-                D = block_diag_of(lins)
-
-                Pinv = {}
-                for t in tn:
-                    dof = manifolds[t].dof
-                    eye = jnp.eye(dof, dtype=dtype)
-                    dd = jnp.maximum(
-                        jnp.diagonal(D[t], axis1=-2, axis2=-1), 1e-8
-                    )
-                    blk = D[t] + lam * dd[..., None] * eye + 1e-8 * eye
-                    fm = free_ownL[t][:, None, None]
-                    blk = blk * fm + eye * (1.0 - fm)
-                    Pinv[t] = jnp.linalg.inv(blk)
-
-                def precond(r):
-                    return {
-                        t: jnp.einsum("nij,nj->ni", Pinv[t], r[t])
-                        * free_ownL[t][:, None]
-                        for t in r
-                    }
-
-                def hvp_damped(v):
-                    out = hvp_of(lins, v)
-                    for t in out:
-                        dd = jnp.maximum(
-                            jnp.diagonal(D[t], axis1=-2, axis2=-1), 1e-8
-                        )
-                        out[t] = (out[t] + lam * dd * v[t]) * free_ownL[t][:, None]
-                    return out
-
-                def pdot(a, b):
-                    return jax.lax.psum(tdot_local(a, b, free_ownL), axis)
-
-                b = {t: -g[t] for t in g}
-                x0 = {t: jnp.zeros_like(b[t]) for t in b}
-                z0 = precond(b)
-                bnorm = jnp.sqrt(pdot(b, b)) + 1e-30
-
-                def cg_cond(s):
-                    _x, r, _z, _p, _rz, k = s
-                    return jnp.logical_and(
-                        k < pcg_iters, jnp.sqrt(pdot(r, r)) > pcg_tol * bnorm
-                    )
-
-                def cg_body(s):
-                    x, r, z, p, rz, k = s
-                    Hp = hvp_damped(p)
-                    alpha = rz / jnp.maximum(pdot(p, Hp), 1e-30)
-                    x = {t: x[t] + alpha * p[t] for t in x}
-                    r = {t: r[t] - alpha * Hp[t] for t in r}
-                    z = precond(r)
-                    rz2 = pdot(r, z)
-                    beta = rz2 / jnp.maximum(rz, 1e-30)
-                    p = {t: z[t] + beta * p[t] for t in p}
-                    return (x, r, z, p, rz2, k + 1)
-
-                delta, *_ = jax.lax.while_loop(
-                    cg_cond, cg_body,
-                    (x0, b, z0, z0, pdot(b, z0), jnp.zeros((), jnp.int32)),
-                )
+                delta, gnorm = schur_solve(lins, lam)
                 trial = boxplus_own(own, delta)
                 cost1, _ = cost_of(with_sep(trial, sep_exchange(trial)))
                 ok = jnp.logical_and(jnp.isfinite(cost1), cost1 < cost0)
                 new_own = jax.tree_util.tree_map(
                     lambda a, b_: jnp.where(ok, a, b_), trial, own
                 )
-                gnorm = jnp.sqrt(pdot(g, g))
-                dnorm = jnp.sqrt(pdot(delta, delta))
-                return new_own, cost0, cost1, gnorm, dnorm, ok
+                dnorm = jnp.sqrt(
+                    jax.lax.psum(tdot_local(delta, delta, free_ownL), axis)
+                )
+                return new_own, cost0, cost1, gnorm, dnorm, ok, jnp.ones(
+                    (), jnp.int32
+                )
 
             # ---- fused LM loop (Marquardt schedule in-graph) --------------
             def lm_cond(state):
-                _v, _lam, it, _cp, _nr, code = state
+                _v, _lam, it, _cp, _nr, code, _cg = state
                 return jnp.logical_and(it < max_iters, code == 0)
 
             def lm_body(state):
-                own, lam, it, cost_prev, n_rej, code = state
-                nv, c0, c1, gn, dn, ok = gn_step(own, lam)
+                own, lam, it, cost_prev, n_rej, code, cg_total = state
+                nv, c0, c1, gn, dn, ok, cg_k = gn_step(own, lam)
                 new_lam = jnp.where(
                     ok, jnp.maximum(lam * 0.25, 1e-12),
                     jnp.minimum(lam * 8.0, 1e8),
@@ -535,6 +639,7 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                 return (
                     nv, new_lam, it + 1, jnp.where(ok, c1, cost_prev),
                     n_rej2, jnp.where(ok, acc, rej).astype(jnp.int32),
+                    cg_total + cg_k,
                 )
 
             own0 = {t: _sq(own_vals[t]) for t in tn}
@@ -542,12 +647,13 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                 own0, lam, jnp.zeros((), jnp.int32),
                 jnp.asarray(jnp.inf, dtype=dtype),
                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32),
             )
-            own, lam, it, _cp, _nr, code = jax.lax.while_loop(
+            own, lam, it, _cp, _nr, code, cg_total = jax.lax.while_loop(
                 lm_cond, lm_body, init
             )
             fc, _ = cost_of(with_sep(own, sep_exchange(own)))
-            return {t: own[t][None] for t in tn}, it, code, fc
+            return {t: own[t][None] for t in tn}, it, code, fc, cg_total
 
         return core
 
@@ -565,8 +671,8 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
         shard_map(
             build(), mesh=mesh,
             in_specs=(vspec, P(), tabspec, tabspec, tabspec, tabspec,
-                      repspec, fbspec),
-            out_specs=(vspec, P(), P(), P()),
+                      tabspec, repspec, fbspec),
+            out_specs=(vspec, P(), P(), P(), P()),
             check_vma=False,
         )
     )
@@ -576,10 +682,20 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
         scattered = plan.scatter_values(values)
         own = {t: dev_sharded(scattered[t]) for t in tn}
         lam = jnp.asarray(lam0, dtype=dtype)
-        own, it, code, fc = solve_core(
-            own, lam, sep_src, sep_own, own_valid, free_own, free_sep, fbs
+        own, it, code, fc, cg_total = solve_core(
+            own, lam, sep_src, sep_own, own2sep, own_valid, free_own,
+            free_sep, fbs
         )
-        out = plan.gather_values({t: np.asarray(v) for t, v in own.items()})
+        def _host_global(x):
+            # multi-process run: shards on other processes are not
+            # addressable here — allgather them (tiny: own-values payload)
+            if x.is_fully_addressable:
+                return np.asarray(x)
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+        out = plan.gather_values({t: _host_global(v) for t, v in own.items()})
         from rome_tpu.solvers.gauss_newton import ParametricSolver
 
         stats = dict(
@@ -588,6 +704,12 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
             reason=ParametricSolver._REASONS.get(int(code), "?"),
             converged=int(code) in (1, 3, 4) or (int(code) == 5 and int(it) > 3),
             final_cost=float(fc),
+            schur_solves=int(cg_total),
+            # collective census per the core's structure (tn types):
+            # per LM iteration: sep_exchange(tn) + cost psum(1) + ONE fused
+            # Schur pack psum(1) + trial exchange(tn) + trial cost(1) +
+            # dnorm psum(1) — no inner CG, no per-iteration chatter
+            collectives=int(it) * (4 + 2 * len(tn)),
             comms=plan.comms_note(),
         )
         return {t: jnp.asarray(v, dtype) for t, v in out.items()}, stats

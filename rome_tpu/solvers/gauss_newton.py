@@ -31,6 +31,7 @@ from rome_tpu.solvers.linearize import (
     normal_eq_entry_values,
     runtime_state,
     structure_signature,
+    tangent_offsets,
     unflatten_tangent,
 )
 
@@ -421,7 +422,7 @@ class ParametricSolver:
                 "pred": pred, "cg_iters": k,
             }
 
-        def cg_polish(minv, hD, b):
+        def cg_polish(minv, hD, b, tol=None):
             """CG on the true damped system, preconditioned by the fresh
             f32 factorization. Plain Richardson refinement does NOT
             contract here: eps32 * cond(Hs) > 1 at M3500's conditioning, so
@@ -430,35 +431,45 @@ class ParametricSolver:
             preconditioner to be SPD-ish and recovers the exact step in a
             handful of iterations; the matvec is matrix-free over the
             factor batches (O(nnz) — ~2 ms in emulated f64 at M3500 scale,
-            vs ~70 ms for a dense f64 matvec). Returns (x, residual, k)."""
+            vs ~70 ms for a dense f64 matvec).
+
+            Restructured so the loop body holds the ONLY instantiation of
+            minv and hD (z/beta computed at the top of the body instead of
+            priming them before the loop): the preconditioner is a whole
+            multifrontal tree sweep for ndchol, and every extra traced copy
+            of it was minutes of XLA compile time over the tunnel.
+            Returns (x, residual, k)."""
+            tol = opts.polish_tol if tol is None else tol
             bn = jnp.linalg.norm(b) + 1e-300
-            x = minv(b)
-            r = b - hD(x)
-            z = minv(r)
-            p = z
-            rz = jnp.vdot(r, z)
+            x0 = jnp.zeros_like(b)
 
             def cg_cond(s):
-                _x, r_, _z, _p, _rz, k = s
+                _x, r_, _p, _rz, k = s
                 return jnp.logical_and(
                     k < opts.polish_iters,
-                    jnp.linalg.norm(r_) > opts.polish_tol * bn,
+                    jnp.linalg.norm(r_) > tol * bn,
                 )
 
             def cg_body(s):
-                x_, r_, z_, p_, rz_, k = s
+                x_, r_, p_, rz_, k = s
+                z = minv(r_)
+                rz2 = jnp.vdot(r_, z)
+                beta = jnp.where(
+                    k == 0, 0.0, rz2 / jnp.where(jnp.abs(rz_) < 1e-300,
+                                                 1e-300, rz_)
+                )
+                p_ = z + beta * p_
                 Ap = hD(p_)
                 denom = jnp.vdot(p_, Ap)
-                alpha = rz_ / jnp.where(jnp.abs(denom) < 1e-300, 1e-300, denom)
+                alpha = rz2 / jnp.where(jnp.abs(denom) < 1e-300, 1e-300, denom)
                 x_ = x_ + alpha * p_
                 r_ = r_ - alpha * Ap
-                z_ = minv(r_)
-                rz2 = jnp.vdot(r_, z_)
-                p_ = z_ + (rz2 / rz_) * p_
-                return (x_, r_, z_, p_, rz2, k + 1)
+                return (x_, r_, p_, rz2, k + 1)
 
-            x, r, _z, _p, _rz, k = jax.lax.while_loop(
-                cg_cond, cg_body, (x, r, z, p, rz, jnp.zeros((), jnp.int32))
+            x, r, _p, _rz, k = jax.lax.while_loop(
+                cg_cond, cg_body,
+                (x0, b, jnp.zeros_like(b), jnp.zeros((), b.dtype),
+                 jnp.zeros((), jnp.int32)),
             )
             return x, r, k
 
@@ -482,6 +493,15 @@ class ParametricSolver:
             f32 = jnp.float32
             wdt = gaW.dtype
             nd = rt["ndchol"]
+            # tunable scalars may ride in as TRACED values (rt["ndchol_tune"])
+            # so a single compiled program serves an on-chip parameter sweep
+            tune = rt.get("ndchol_tune") if isinstance(rt, dict) else None
+            jitter = (
+                tune["jitter"] if tune is not None else opts.chol_jitter
+            )
+            ptol = (
+                tune["polish_tol"] if tune is not None else opts.polish_tol
+            )
             vals = normal_eq_entry_values(gaW, lins, dtype=f32)
             fvec32 = free_vector(gaW, rt).astype(f32)
             lam32 = lam.astype(f32)
@@ -493,7 +513,7 @@ class ParametricSolver:
             dv = jax.lax.rsqrt(jnp.maximum(diag_H * (1.0 + lam32), 1e-12))
             df = dv * fvec32
             diag_add = fvec32 * (
-                lam32 / (1.0 + lam32) + opts.chol_jitter
+                lam32 / (1.0 + lam32) + jitter
             ) + (1.0 - fvec32)
             Ws = ndchol_assemble(sym, nd, vals, df, diag_add)
             Linvs, L21s, _L11s = ndchol_factorize(sym, nd, Ws)
@@ -508,16 +528,41 @@ class ParametricSolver:
             diagW = diag_H.astype(wdt)
             lamW = lam.astype(wdt)
 
-            def hD(x):
-                v = unflatten_tangent(gaW, x)
-                out = hvp_from_lins(gaW, lins, v, rt)
-                return (flatten_tangent(gaW, out) + lamW * diagW * x) * fvecW
+            # loose polish (inexact Newton) doesn't need f64 matvecs: the
+            # CG only drives the relative residual to ~polish_tol, so an
+            # f32 Hvp (native speed) is precise enough — only the RHS b
+            # (gradient) and the cost evaluations stay in f64. At tight
+            # polish_tol the f64 emulated matvec is kept (its error would
+            # floor the achievable residual).
+            if opts.polish_tol >= 1e-3 and wdt != jnp.float32:
+                lins32 = [
+                    (bb, r0.astype(f32), tuple(J.astype(f32) for J in Js), vs)
+                    for bb, r0, Js, vs in lins
+                ]
+                diag32 = diag_H
+                fvec32b = fvec32
+
+                def hD(x):
+                    v = unflatten_tangent(ga, x.astype(f32))
+                    out = hvp_from_lins(ga, lins32, v, rt)
+                    return (
+                        (flatten_tangent(ga, out) + lam32 * diag32 * x.astype(f32))
+                        * fvec32b
+                    ).astype(wdt)
+
+            else:
+                def hD(x):
+                    v = unflatten_tangent(gaW, x)
+                    out = hvp_from_lins(gaW, lins, v, rt)
+                    return (
+                        flatten_tangent(gaW, out) + lamW * diagW * x
+                    ) * fvecW
 
             b = -flatten_tangent(gaW, g)
-            x, r, k = cg_polish(minv, hD, b)
+            x, r, k = cg_polish(minv, hD, b, tol=ptol)
             delta = unflatten_tangent(gaW, x)
             bn = jnp.linalg.norm(b) + 1e-300
-            exact = jnp.linalg.norm(r) <= opts.polish_tol * bn
+            exact = jnp.linalg.norm(r) <= ptol * bn
             pred = 0.5 * (jnp.vdot(b, x) + jnp.vdot(x, r))
             return delta, g, pstate_empty, exact, {
                 "pred": pred, "cg_iters": k,
@@ -679,8 +724,14 @@ class ParametricSolver:
             # grow it when the quadratic model overshoots (rho small) even if
             # the step was accepted — kills the GN zigzag on rotation-heavy
             # graphs (Manhattan) without rejecting progress.
+            tune_s = rt.get("ndchol_tune") if isinstance(rt, dict) else None
+            lam_min = (
+                tune_s["lam_min"]
+                if tune_s is not None and "lam_min" in tune_s
+                else opts.lam_min
+            )
             grow = jnp.minimum(lam * opts.lam_up, opts.lam_max)
-            shrink = jnp.maximum(lam * opts.lam_down, opts.lam_min)
+            shrink = jnp.maximum(lam * opts.lam_down, lam_min)
             new_lam = jnp.where(
                 ~ok,
                 grow,
@@ -762,10 +813,12 @@ class ParametricSolver:
                 ftol_hit = jnp.abs(cost_prev - cost1) <= opts.ftol * jnp.maximum(
                     1.0, jnp.abs(cost_prev)
                 )
+                tune = rt.get("ndchol_tune") if isinstance(rt, dict) else None
+                dtol_v = tune["dtol"] if tune is not None else opts.dtol
                 dtol_hit = jnp.logical_and(
-                    jnp.asarray(opts.dtol > 0.0),
+                    jnp.asarray(dtol_v > 0.0),
                     jnp.logical_and(
-                        dnorm < opts.dtol, new_lam <= opts.lam0 + 0.0
+                        dnorm < dtol_v, new_lam <= opts.lam0 + 0.0
                     ),
                 )
                 acc_code = jnp.where(
@@ -931,6 +984,12 @@ class ParametricSolver:
         values, it, code, n_rej, gnorm, final_cost, hist = loop_fn(
             values, lam, rt
         )
+        # ONE device_get for every host-needed scalar + the history matrix:
+        # five separate int()/float() fetches cost five round-trips over a
+        # tunneled device (~15 ms each)
+        it, code, n_rej, gnorm, final_cost, hist = jax.device_get(
+            (it, code, n_rej, gnorm, final_cost, hist)
+        )
         it = int(it)
         code = int(code)
         hist = [
@@ -944,7 +1003,7 @@ class ParametricSolver:
                 lam=float(h[5]),
                 cg=int(h[6]),
             )
-            for k, h in enumerate(list(jax.device_get(hist))[:it])
+            for k, h in enumerate(list(hist)[:it])
         ]
         if opts.verbose:
             for h in hist:
@@ -1004,19 +1063,29 @@ def _blocked_spd_inverse(H, blk: int = 1024):
     return Linv.T @ Linv
 
 
-def marginal_covariances(ga: GraphArrays, values, rt=None):
-    """Per-variable marginal covariance blocks in the local tangent frame.
+def marginal_covariances(ga: GraphArrays, values, rt=None, method="auto"):
+    """Per-variable marginal covariance blocks in the local tangent frame —
+    the analogue of the reference's parametric covariance recovery
+    (testParametricCovariances.jl:33-55). Returns {type_name: (n, dof, dof)}.
 
-    Dense information-matrix inverse via blocked Cholesky solves (memory-
-    safe at M3500 scale) + ONE vectorized gather per variable type — the
-    analogue of the reference's parametric covariance recovery
-    (testParametricCovariances.jl). Assembles in f64 when x64 is enabled
-    (cond(H) ~ 1e8 makes f32 marginals unreliable). Returns
-    {type_name: (n, dof, dof)}.
-    """
+    ``method``:
+      - "dense": full-H inverse via blocked Cholesky solves — O(n^3) flops /
+        O(n^2) memory; exact, fine for fixtures.
+      - "takahashi": selected inversion along the nested-dissection
+        elimination tree (sparse/ndchol) — only the inverse entries on the
+        filled pattern are computed, so per-pose marginals at M3500 scale
+        cost about one extra factorization instead of a dense inverse.
+      - "auto": takahashi above ~1500 tangent dims, dense below.
+
+    Assembles in f64 when x64 is enabled (cond(H) ~ 1e8 makes f32 marginals
+    unreliable)."""
     use64 = bool(jax.config.jax_enable_x64)
     hdt = jnp.float64 if use64 else ga.dtype
     lins = linearize_all(ga, values, rt)
+    if method == "auto":
+        method = "takahashi" if ga.total_dof > 1500 else "dense"
+    if method == "takahashi":
+        return _marginal_covariances_takahashi(ga, lins, rt, hdt)
     H, _g = dense_normal_eqs(ga, lins, dtype=hdt, rt=rt)
     H = H + 1e-8 * jnp.eye(H.shape[0], dtype=hdt)
     cov = _blocked_spd_inverse(H)
@@ -1029,4 +1098,98 @@ def marginal_covariances(ga: GraphArrays, values, rt=None):
         idx = off + jnp.arange(n)[:, None] * d + jnp.arange(d)[None, :]
         out[t] = cov[idx[:, :, None], idx[:, None, :]].astype(ga.dtype)
         off += n * d
+    return out
+
+
+def _marginal_covariances_takahashi(ga: GraphArrays, lins, rt, hdt):
+    """Sparse covariance recovery: ND multifrontal factorization + Takahashi
+    selected inversion, then gather each variable's dof x dof diagonal block
+    from its supernode front (a variable's tangent dims are contiguous in
+    one supernode by construction of the var-level dissection)."""
+    from rome_tpu.solvers.sparse import (
+        ndchol_assemble, ndchol_factorize, ndchol_takahashi, symbolic_factor,
+    )
+
+    rt = rt if rt is not None else runtime_state(ga)
+    dofs = {t: ga.manifolds[t].dof for t in ga.type_names}
+    specs = [
+        (b.vtypes, np.asarray(v)) for b, v in zip(ga.batches, rt["vslots"])
+    ]
+    sym = symbolic_factor(ga.type_names, ga.counts, dofs, specs)
+    arrs = sym.device_arrs()
+    vals = normal_eq_entry_values(ga, lins, dtype=hdt)
+    fvec = free_vector(ga, rt).astype(hdt)
+    diag_H = (
+        jnp.zeros(sym.D, hdt)
+        .at[arrs["diag_dst"]]
+        .add(vals[arrs["diag_src"]] * fvec[arrs["diag_dst"]] ** 2)
+    )
+    # lam=0 (undamped information matrix) + tiny jitter for SPD safety,
+    # matching the dense path's 1e-8 ridge
+    dv = 1.0 / jnp.sqrt(jnp.maximum(diag_H, 1e-12))
+    df = dv * fvec
+    jit_rel = jnp.asarray(1e-8, hdt)
+    diag_add = fvec * jit_rel + (1.0 - fvec)
+    Ws = ndchol_assemble(sym, arrs, vals, df, diag_add)
+    Linvs, L21s, _ = ndchol_factorize(sym, arrs, Ws)
+    Xs = ndchol_takahashi(sym, arrs, Linvs, L21s)
+    # un-scale: cov = D X D restricted to each variable's block; gather via
+    # each scalar dim's (level, node, supernode offset) coordinates
+    base, _D = tangent_offsets(ga)
+    out = {}
+    # flatten all per-level X fronts once; per-variable gather by index maps
+    flat = {}
+    for l in range(sym.nlev):
+        if Xs[l] is not None:
+            flat[l] = Xs[l].reshape(-1)
+    # host-side index math (symbolic arrays are numpy)
+    for t in ga.type_names:
+        n, d = ga.counts[t], ga.manifolds[t].dof
+        if n == 0:
+            out[t] = jnp.zeros((0, d, d), dtype=ga.dtype)
+            continue
+        scal = base[t] + np.arange(n * d).reshape(n, d)
+        gidx = np.zeros((n, d, d), np.int64)
+        glev = np.zeros((n,), np.int64)
+        for l in range(sym.nlev):
+            n_l, sm, bm = sym.plan[l]
+            if n_l == 0:
+                continue
+            sup_idx = np.asarray(sym.arrs[f"sup_idx_{l}"])  # (n_l, sm)
+            # scalar -> (node_local, offset) map for this level
+            pos = {}
+            for j in range(n_l):
+                for a in range(sm):
+                    s = sup_idx[j, a]
+                    if s < sym.D:
+                        pos[int(s)] = (j, a)
+            f = sm + bm
+            for i in range(n):
+                s0 = int(scal[i, 0])
+                if s0 in pos:
+                    j, a = pos[s0]
+                    offs = np.array(
+                        [pos[int(scal[i, k])][1] for k in range(d)]
+                    )
+                    assert (np.array(
+                        [pos[int(scal[i, k])][0] for k in range(d)]
+                    ) == j).all(), "variable split across supernodes"
+                    gidx[i] = (
+                        j * f * f + offs[:, None] * f + offs[None, :]
+                    )
+                    glev[i] = l
+        # gather per level
+        blocks = jnp.zeros((n, d, d), hdt)
+        for l in range(sym.nlev):
+            sel = np.where(glev == l)[0]
+            if len(sel) == 0 or l not in flat:
+                continue
+            got = flat[l][jnp.asarray(gidx[sel].reshape(-1))]
+            blocks = blocks.at[jnp.asarray(sel)].set(
+                got.reshape(len(sel), d, d)
+            )
+        dvar = df[jnp.asarray(scal)]  # (n, d) — includes free mask
+        out[t] = (blocks * dvar[:, :, None] * dvar[:, None, :]).astype(
+            ga.dtype
+        )
     return out

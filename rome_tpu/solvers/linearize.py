@@ -85,7 +85,7 @@ def batch_residual(ga: GraphArrays, batch: FactorBatch, values,
 
 
 def batch_linearize(ga: GraphArrays, batch: FactorBatch, values,
-                    params=None, vslots=None, weight=None):
+                    params=None, vslots=None, weight=None, fused=True):
     """Whitened residuals and per-slot Jacobians wrt local tangent deltas.
 
     Returns (r0 (n, zdim), Js tuple of (n, zdim, dof_k)).
@@ -93,17 +93,29 @@ def batch_linearize(ga: GraphArrays, batch: FactorBatch, values,
     params = batch.params if params is None else params
     vslots = batch.vslots if vslots is None else vslots
     weight = batch.weight if weight is None else weight
-    f = _whitened_residual_fn(ga, batch)
     pts = _gather_points(values, batch, vslots)
-    mans = [ga.manifolds[t] for t in batch.vtypes]
-    zeros = tuple(jnp.zeros((batch.n, m.dof), dtype=ga.dtype) for m in mans)
 
-    def f_and_jac(deltas, params, p):
-        r = f(deltas, params, p)
-        J = jax.jacfwd(f, argnums=0)(deltas, params, p)
-        return r, J
+    # hand-derived fused kernels for the hot factor families: closed-form
+    # Jacobians over (n,) coordinate planes instead of 7 forward-mode
+    # residual evaluations (see ops/fused_linearize.py derivation)
+    from rome_tpu.ops.fused_linearize import FUSED_LINEARIZE
 
-    r0, Js = jax.vmap(f_and_jac)(zeros, params, pts)
+    kern = FUSED_LINEARIZE.get(batch.ftype.name) if fused else None
+    if kern is not None:
+        r0, Js = kern(params, *pts)
+    else:
+        f = _whitened_residual_fn(ga, batch)
+        mans = [ga.manifolds[t] for t in batch.vtypes]
+        zeros = tuple(
+            jnp.zeros((batch.n, m.dof), dtype=ga.dtype) for m in mans
+        )
+
+        def f_and_jac(deltas, params, p):
+            r = f(deltas, params, p)
+            J = jax.jacfwd(f, argnums=0)(deltas, params, p)
+            return r, J
+
+        r0, Js = jax.vmap(f_and_jac)(zeros, params, pts)
     w = weight
     r0 = r0 * w[:, None]
     Js = tuple(J * w[:, None, None] for J in Js)

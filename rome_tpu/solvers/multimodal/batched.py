@@ -185,7 +185,50 @@ def build_propagator(
     bp._products = jax.jit(
         _make_products_fn(bp, gibbs_sweeps), static_argnames=()
     )
+    if not bp.fallback:
+        # the common case (no multihypo/mixture host-spliced messages):
+        # messages + padding glue + Gibbs products as ONE jitted program —
+        # the split path pays ~15 eager dispatches of glue per sweep, which
+        # over a tunneled TPU is pure round-trip latency
+        messages_fn = _make_messages_fn(bp)
+        products_fn = _make_products_fn(bp, gibbs_sweeps)
+
+        def full_sweep(beliefs, params_all, key):
+            msgs = messages_fn(beliefs, params_all, key)
+            padded, masks = _pad_messages(bp, beliefs, msgs)
+            var_masks = {
+                t: jnp.ones((ga.counts[t],), ga.dtype) for t in padded
+            }
+            return products_fn(
+                beliefs, padded, masks, var_masks, jax.random.fold_in(key, 99)
+            )
+
+        bp._sweep = jax.jit(full_sweep)
     return bp
+
+
+def _pad_messages(bp: BeliefPropagator, beliefs, msgs):
+    """Scatter per-source message streams into the per-type padded product
+    tensors (pure jnp — traced inside the fused sweep)."""
+    ga = bp.ga
+    padded, masks = {}, {}
+    for t in ga.type_names:
+        if not bp.has_msg[t].any():
+            continue
+        man = ga.manifolds[t]
+        pdim = beliefs[t].shape[-1]
+        # padding rows hold the manifold identity (a VALID point): masked
+        # densities still flow through local(); 0*finite=0, 0*nan=nan
+        ident = jnp.asarray(man.identity(), dtype=ga.dtype)
+        padded[t] = jnp.broadcast_to(
+            ident, (ga.counts[t], bp.kmax[t], bp.N, pdim)
+        )
+        masks[t] = jnp.zeros((ga.counts[t], bp.kmax[t]), dtype=ga.dtype)
+    for src, m in zip(bp.sources, msgs):
+        t = src.ttype
+        padded[t] = padded[t].at[src.dest_var, src.dest_k].set(m)
+        masks[t] = masks[t].at[src.dest_var, src.dest_k].set(1.0)
+    return padded, masks
 
 
 def _sample_z(params, L, key, N):
@@ -440,25 +483,15 @@ class BatchedNonparametricSolver:
         (e.g. subtree-assigned) message set — traced, so masked calls reuse
         the same compiled programs."""
         bp, ga = self.bp, self.ga
+        if (
+            bp._sweep is not None
+            and var_masks is None
+            and msg_masks is None
+        ):
+            # fused single-program sweep (no eager glue dispatches)
+            return bp._sweep(beliefs, self._params_all, key)
         msgs = bp._messages(beliefs, self._params_all, key)
-
-        padded, masks = {}, {}
-        for t in ga.type_names:
-            if not bp.has_msg[t].any():
-                continue
-            man = ga.manifolds[t]
-            pdim = beliefs[t].shape[-1]
-            # padding rows hold the manifold identity (a VALID point): masked
-            # densities still flow through local(); 0*finite=0, 0*nan=nan
-            ident = jnp.asarray(man.identity(), dtype=ga.dtype)
-            padded[t] = jnp.broadcast_to(
-                ident, (ga.counts[t], bp.kmax[t], self.N, pdim)
-            )
-            masks[t] = jnp.zeros((ga.counts[t], bp.kmax[t]), dtype=ga.dtype)
-        for src, m in zip(bp.sources, msgs):
-            t = src.ttype
-            padded[t] = padded[t].at[src.dest_var, src.dest_k].set(m)
-            masks[t] = masks[t].at[src.dest_var, src.dest_k].set(1.0)
+        padded, masks = _pad_messages(bp, beliefs, msgs)
 
         # splice per-factor fallback messages (multihypo / mixtures)
         if bp.fallback:
@@ -487,11 +520,44 @@ class BatchedNonparametricSolver:
             beliefs, padded, masks, var_masks, jax.random.fold_in(key, 99)
         )
 
+    def init_beliefs_from_points(self, key, sigma: float = None):
+        """Fast batched belief seeding: one device program per type forms
+        beliefs = point-estimate ⊞ kernel noise from the (cheap, host-side)
+        graphinit point solution, replacing the per-factor approxConv init
+        chain (whose O(V) eager dispatches dominate init wall time over a
+        tunneled device). The Gibbs sweeps that follow rebuild the local
+        uncertainty structure; accuracy is gated by the same KL tests as
+        the default init (tests/test_multimodal_kl.py)."""
+        self.fg.init_all(self.solve_key)
+        ga = self.ga
+        ga2 = lower(self.fg, self.solve_key)  # refresh point estimates
+        sigma = float(
+            sigma if sigma is not None else self.fg.params.inflation * 0.1
+        )
+        for ti, t in enumerate(ga.type_names):
+            man = ga.manifolds[t]
+            pts = jnp.asarray(ga2.values0[t], ga.dtype)  # (V, pdim)
+            eps = (
+                jax.random.normal(
+                    jax.random.fold_in(key, ti), (ga.counts[t], self.N, man.dof)
+                )
+                * sigma
+                * jnp.asarray(man.random_tangent_scale(), ga.dtype)
+            )
+            bel = man.normalize(man.boxplus(pts[:, None, :], eps))
+            arr = np.asarray(bel)
+            for slot, lbl in enumerate(ga.var_labels[t]):
+                rec = self.fg.variables[lbl]
+                rec.beliefs[self.solve_key] = arr[slot]
+                rec.initialized[self.solve_key] = True
+
     def solve(self, sweeps: int = 3, key=None, init: bool = True):
         from rome_tpu.solvers.multimodal.solve import init_all_beliefs
 
         key = key if key is not None else jax.random.PRNGKey(2024)
-        if init:
+        if init == "points":
+            self.init_beliefs_from_points(jax.random.fold_in(key, 0))
+        elif init:
             init_all_beliefs(
                 self.fg, self.solve_key, N=self.N, key=jax.random.fold_in(key, 0)
             )

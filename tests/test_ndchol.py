@@ -197,6 +197,24 @@ def test_lm_ndchol_matches_dense32(schedule):
         )
 
 
+def test_marginal_covariances_takahashi_matches_dense():
+    """Scalable covariance recovery (testParametricCovariances.jl contract):
+    Takahashi selected inversion must reproduce the dense full-inverse
+    marginals to 1e-6."""
+    from rome_tpu.solvers.gauss_newton import marginal_covariances
+
+    fg = _grid_graph(5, 5, seed=2)
+    res = solve_graph_parametric(fg, init=False, chordal_init=True)
+    assert res["stats"].converged
+    ga = lower(fg, dtype=jnp.float64)
+    covs_d = marginal_covariances(ga, ga.values0, method="dense")
+    covs_t = marginal_covariances(ga, ga.values0, method="takahashi")
+    for t in covs_d:
+        np.testing.assert_allclose(
+            np.asarray(covs_t[t]), np.asarray(covs_d[t]), rtol=0, atol=1e-6
+        )
+
+
 def test_symbolic_handles_disconnected_and_tiny():
     """Disconnected components and a graph smaller than the leaf size."""
     fg = FactorGraph()

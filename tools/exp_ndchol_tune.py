@@ -1,0 +1,109 @@
+"""On-chip tuning sweep for the ndchol LM solver: ONE compiled program
+(jitter / polish_tol / dtol ride as traced scalars via rt["ndchol_tune"]),
+then the whole parameter grid runs at solve speed.
+
+Usage: python tools/exp_ndchol_tune.py [dataset]
+"""
+import os, sys, time, json, itertools
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+from rome_tpu.utils.compile_cache import enable as enable_compile_cache
+
+enable_compile_cache()
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+import numpy as np
+
+from rome_tpu import MvNormal, PriorPose2, GNOptions
+from rome_tpu.io.g2o import load_g2o
+from rome_tpu.graph.lower import lower
+from rome_tpu.solvers.gauss_newton import ParametricSolver
+from rome_tpu.solvers.init2d import chordal_init_pose2
+from rome_tpu.solvers.linearize import runtime_state
+
+name = sys.argv[1] if len(sys.argv) > 1 else "manhattan"
+paths = {
+    "manhattan": ("/root/reference/examples/manhattan.g2o", "data/manhattan_gt.npz"),
+    "mit": ("/root/reference/examples/MIT.g2o", "data/mit_gt.npz"),
+}
+path, gtf = paths[name]
+
+fg = load_g2o(None, path)
+fg.add_factor(["x0"], PriorPose2(MvNormal([0, 0, 0], [0.1, 0.1, 0.05])),
+              graphinit=False)
+fg.init_all()
+ga = lower(fg, dtype=jnp.float32)
+rt = runtime_state(ga)
+v0 = chordal_init_pose2(ga, ga.values0)
+
+opts = GNOptions(
+    max_iters=30, linear="ndchol", polish_tol=1e-6, polish_iters=60,
+    lam0=1e-6, lam_down=0.1, lam_min=1e-12, chol_jitter=3e-7,
+    dtol=0.05, ftol=1e-9, gtol=1e-8,
+)
+solver = ParametricSolver(ga, opts)
+print("device:", jax.devices()[0], flush=True)
+
+gt = np.load(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), gtf))
+gt_poses = gt["poses"]
+ref_cost = float(gt["final_cost"])
+labels = [l for l in fg.ls(r"^x\d+$")]
+slot = {l: fg.variables[l].slot for l in labels}
+
+
+def ate_of(values):
+    arr = np.asarray(values["Pose2"], dtype=np.float64)
+    errs = [
+        np.sum((arr[slot[l]][:2] - gt_poses[int(l[1:])][:2]) ** 2)
+        for l in labels
+    ]
+    return float(np.sqrt(np.mean(errs)))
+
+
+def run(jitter, ptol, dtol, lam_min=1e-12):
+    rt2 = dict(rt)
+    rt2["ndchol_tune"] = {
+        "jitter": jnp.asarray(jitter, jnp.float32),
+        "polish_tol": jnp.asarray(ptol, jnp.float64),
+        "dtol": jnp.asarray(dtol, jnp.float64),
+        "lam_min": jnp.asarray(lam_min, jnp.float32),
+    }
+    t0 = time.time()
+    values, stats = solver.solve(dict(v0), rt=rt2)
+    dt = time.time() - t0
+    return dict(
+        jitter=jitter, polish_tol=ptol, dtol=dtol, lam_min=lam_min,
+        wall_s=round(dt, 3), iters=stats.iterations,
+        converged=stats.converged, reason=stats.reason,
+        final_cost=stats.final_cost,
+        cost_ok=bool(stats.final_cost <= ref_cost * 1.002 + 1e-3),
+        ate=round(ate_of(values), 6),
+        cg=[h["cg"] for h in stats.history],
+        rejects=sum(1 for h in stats.history if not h["accepted"]),
+    )
+
+
+t0 = time.time()
+first = run(3e-7, 1e-6, 0.05)
+print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
+print(json.dumps(first), flush=True)
+
+grid = [
+    (1e-7, 3e-2, 0.2, 1e-12),    # round-2 best: 0.519 s, ATE 0.017
+    (1e-7, 3e-2, 0.3, 1e-12),
+    (1e-7, 1e-1, 0.2, 1e-12),
+    (1e-7, 1e-1, 0.3, 1e-12),
+    (2e-7, 3e-2, 0.2, 1e-12),
+    (1e-7, 5e-2, 0.25, 1e-12),
+    (1e-7, 3e-1, 0.3, 1e-12),
+]
+for g in grid:
+    r = run(*g)
+    # warm repeat for best-of-2 timing
+    r2 = run(*g)
+    r["wall_s"] = min(r["wall_s"], r2["wall_s"])
+    print(json.dumps(r), flush=True)

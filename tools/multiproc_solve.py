@@ -36,19 +36,32 @@ COORD = "127.0.0.1:29511"
 
 
 def _solve(tag: str):
-    """Build the chain fixture and run the fused distributed solve over the
-    global mesh (whatever that is in this runtime)."""
+    """Build the chain fixture and run BOTH fused distributed solves over
+    the global mesh: the owner-computes varpart path (separator-only
+    exchange + per-device subdomain Cholesky preconditioner — the flagship)
+    and the factor-sharded replicated path (round-2 design, for
+    comparison)."""
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
     from rome_tpu.parallel.distributed import global_mesh
     from rome_tpu.parallel.sharding import make_sharded_gn_step
+    from rome_tpu.parallel.varpart import make_varpart_solver
     from rome_tpu.solvers.linearize import cost_at
 
     ga = ge._build_chain_fixture(int(os.environ.get("MP_POSES", "1024")))
     cost_start = float(cost_at(ga, ga.values0))
     mesh = global_mesh()
+
+    vp_solve, _plan = make_varpart_solver(
+        ga, mesh, axis=mesh.axis_names[0], max_iters=60
+    )
+    vp_solve(ga.values0, lam0=1e-4)  # compile
+    t0 = time.time()
+    _vv, vp_stats = vp_solve(ga.values0, lam0=1e-4)
+    vp_dt = time.time() - t0
+
     step, ga_p = make_sharded_gn_step(ga, mesh, pcg_iters=100)
     lam = jnp.asarray(1e-4, dtype=ga_p.dtype)
     step.solve(ga_p.values0, lam)  # compile
@@ -56,7 +69,10 @@ def _solve(tag: str):
     values, it, code, fc = step.solve(ga_p.values0, lam)
     fc = float(fc)
     dt = time.time() - t0
+    vp_stats = dict(vp_stats)
+    vp_stats["wall_s"] = round(vp_dt, 4)
     return dict(
+        varpart=vp_stats,
         tag=tag,
         n_devices_global=len(jax.devices()),
         n_devices_local=len(jax.local_devices()),
@@ -79,6 +95,18 @@ def worker(pid: int, nprocs: int, ndev_local: int):
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={ndev_local}"
     ).strip()
+    # pin each worker to a disjoint core set: with every process defaulting
+    # to all-cores thread pools, N co-located processes oversubscribe the
+    # host and serialize each other through the scheduler (this machine has
+    # very few cores; on real multi-HOST DCN deployments each process owns
+    # its own socket and this is a no-op)
+    try:
+        ncpu = os.cpu_count() or 1
+        per = max(1, ncpu // nprocs)
+        cores = set(range(pid * per, min(ncpu, (pid + 1) * per))) or {0}
+        os.sched_setaffinity(0, cores)
+    except (AttributeError, OSError):
+        pass
     import jax
 
     jax.config.update("jax_platforms", "cpu")
