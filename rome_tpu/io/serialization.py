@@ -259,6 +259,12 @@ def _graph_to_doc(fg: FactorGraph, include_beliefs: bool = True) -> dict:
                 ),
                 "ppes": {k: _pack_array(v) for k, v in r.ppes.items()},
                 "initialized": dict(r.initialized),
+                # blob REFERENCES only (payloads live in the blob store —
+                # io/blobstore.py; DFG BlobEntry semantics)
+                "data_entries": {
+                    k: e.to_doc()
+                    for k, e in getattr(r, "data_entries", {}).items()
+                },
             }
         )
     factors = [pack_factor(fg.factors[l]) for l in fg._fct_order]
@@ -301,6 +307,13 @@ def _doc_to_graph(doc: dict) -> FactorGraph:
         rec.beliefs = {k: _unpack_array(a) for k, a in v.get("beliefs", {}).items()}
         rec.ppes = {k: _unpack_array(a) for k, a in v.get("ppes", {}).items()}
         rec.initialized = dict(v.get("initialized", {}))
+        if v.get("data_entries"):
+            from rome_tpu.io.blobstore import BlobEntry
+
+            rec.data_entries = {
+                k: BlobEntry.from_doc(d)
+                for k, d in v["data_entries"].items()
+            }
     for fobj in doc["factors"]:
         f = unpack_factor(fobj)
         fg.add_factor(

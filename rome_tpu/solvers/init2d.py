@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rome_tpu.graph.lower import GraphArrays
 from rome_tpu.utils.math import rot2
@@ -78,13 +79,25 @@ def _solve_spd_delta(A, g, free, dtype, matvec=None):
         A.shape[0], dtype=f32
     )
     L, low = jax.scipy.linalg.cho_factor(As32, lower=True)
-    y = jax.scipy.linalg.cho_solve((L, low), bs.astype(f32)).astype(A.dtype)
-    if A.dtype != f32:
+    # explicit triangular inverse: the CG below applies the preconditioner
+    # ~30x, and each cho_solve pair on the 7k-wide M3500 system costs ~3 ms
+    # of sequential substitution — two MXU matvecs per apply instead
+    # (~0.5 ms) pay for the one-time inversion after ~5 iterations
+    Linv = jax.lax.linalg.triangular_solve(
+        L, jnp.eye(L.shape[0], dtype=f32), left_side=True, lower=True
+    )
+
+    def _prec32(r32):
+        return Linv.T @ (Linv @ r32)
+
+    rdt = g.dtype  # refinement precision (f64 when x64 is live)
+    y = _prec32(bs.astype(f32)).astype(rdt)
+    if rdt != f32:
         # f64 CG on the scaled system, preconditioned by the f32 factor —
         # converges where plain iterative refinement (Richardson) stalls
         # once eps32 * cond exceeds 1 (Laplacian cond ~ diameter^2).
         if matvec is None:
-            As64 = A * d[:, None] * d[None, :]
+            As64 = (A * d[:, None] * d[None, :]).astype(rdt)
 
             def apply_s(v):
                 return As64 @ v
@@ -97,9 +110,7 @@ def _solve_spd_delta(A, g, free, dtype, matvec=None):
                 return d * y_
 
         def prec(r):
-            return jax.scipy.linalg.cho_solve((L, low), r.astype(f32)).astype(
-                A.dtype
-            )
+            return _prec32(r.astype(f32)).astype(rdt)
 
         x = y
         r = bs - apply_s(x)
@@ -128,7 +139,7 @@ def _solve_spd_delta(A, g, free, dtype, matvec=None):
             # as the hard budget.
             _x, r, _z, _p, _rz, k = state
             return jnp.logical_and(
-                k < 30, jnp.linalg.norm(r) > 1e-8 * bn
+                k < 30, jnp.linalg.norm(r) > 1e-7 * bn
             )
 
         x, r, _z, _p, _rz, _k = jax.lax.while_loop(
@@ -143,7 +154,95 @@ def _solve_spd_delta(A, g, free, dtype, matvec=None):
     return (y * d * f).astype(dtype)
 
 
+def _ndchol_spd_delta(sym, nd, vals_vec, g, free2, matvec, out_dtype):
+    """Sparse twin of :func:`_solve_spd_delta`: ND multifrontal f32
+    factorization of the 2-dof chordal system as the preconditioner of a
+    refinement-precision CG against the edge-based matvec. No dense (2n)^2
+    object anywhere."""
+    from rome_tpu.solvers.sparse import (
+        ndchol_assemble, ndchol_factorize, ndchol_solve,
+    )
+
+    f32 = jnp.float32
+    rdt = g.dtype
+    f = free2.astype(f32)
+    vals32 = vals_vec.astype(f32)
+    diag_A = (
+        jnp.zeros(sym.D, f32)
+        .at[nd["diag_dst"]]
+        .add(vals32[nd["diag_src"]] * f[nd["diag_dst"]] ** 2)
+    )
+    dv = jax.lax.rsqrt(jnp.maximum(diag_A, 1e-12))
+    df = dv * f
+    diag_add = f * 1e-6 + (1.0 - f)  # same ridge as the dense path
+    Ws = ndchol_assemble(sym, nd, vals32, df, diag_add)
+    Linvs, L21s, _L11s = ndchol_factorize(sym, nd, Ws)
+
+    def minv(r):
+        y = ndchol_solve(sym, nd, Linvs, L21s, r.astype(f32) * df)
+        return (y * df).astype(rdt)
+
+    frdt = free2.astype(rdt)
+    b = (-g) * frdt
+    x0 = jnp.zeros_like(b)
+    if rdt == f32:
+        return (minv(b) * frdt).astype(out_dtype)
+    one_minus = 1.0 - frdt
+
+    def apply_A(v):
+        return frdt * matvec(frdt * v) + one_minus * v
+
+    bn = jnp.linalg.norm(b) + 1e-300
+
+    def cond(state):
+        _x, r, _p, _rz, k = state
+        return jnp.logical_and(k < 30, jnp.linalg.norm(r) > 1e-7 * bn)
+
+    def body(state):
+        x, r, p, rz, k = state
+        z = minv(r)
+        rz2 = jnp.vdot(r, z)
+        beta = jnp.where(k == 0, 0.0, rz2 / jnp.where(jnp.abs(rz) < 1e-300,
+                                                      1e-300, rz))
+        p = z + beta * p
+        Ap = apply_A(p)
+        alpha = rz2 / jnp.where(jnp.abs(jnp.vdot(p, Ap)) < 1e-300, 1e-300,
+                                jnp.vdot(p, Ap))
+        return (x + alpha * p, r - alpha * Ap, p, rz2, k + 1)
+
+    x, _r, _p, _rz, _k = jax.lax.while_loop(
+        cond, body,
+        (x0, b, jnp.zeros_like(b), jnp.zeros((), rdt),
+         jnp.zeros((), jnp.int32)),
+    )
+    return (x * frdt).astype(out_dtype)
+
+
 _CHORDAL_CACHE: dict = {}
+
+# above this many poses the two stage solves go SPARSE: the same
+# nested-dissection multifrontal machinery as the main ndchol solver, on the
+# (c,s)/(x,y) 2-dof systems (the dense (2n)^2 assembly+factorization was the
+# last O(n^3) block in the whole M3500 pipeline)
+_SPARSE_THRESHOLD = 300
+
+
+def _chordal_symbolic(n, edges, priors):
+    """Symbolic ND factorization of the 2-dof chordal systems (both stages
+    share the pose graph's sparsity)."""
+    import numpy as np
+
+    from rome_tpu.solvers.sparse import symbolic_factor
+
+    specs = []
+    for i, j, _z, _S, _w in edges:
+        specs.append(
+            (("U", "U"),
+             np.stack([np.asarray(i), np.asarray(j)], axis=1).astype(np.int64))
+        )
+    for idx, _z, _S, _w in priors:
+        specs.append((("U",), np.asarray(idx)[:, None].astype(np.int64)))
+    return symbolic_factor(["U"], {"U": n}, {"U": 2}, specs)
 
 
 def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
@@ -164,20 +263,31 @@ def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
         str(ga.dtype),
         tuple(e[2].shape for e in edges),
         tuple(p[1].shape for p in priors),
+        tuple(np.asarray(e[0]).tobytes() for e in edges) if n >= _SPARSE_THRESHOLD else None,
     )
-    fn = _CHORDAL_CACHE.get(sig)
-    if fn is None:
+    cached = _CHORDAL_CACHE.get(sig)
+    if cached is None:
+        if n >= _SPARSE_THRESHOLD:
+            sym = _chordal_symbolic(n, edges, priors)
+            sym_dev = sym.device_arrs()
+        else:
+            sym, sym_dev = None, {}
         fn = jax.jit(
-            lambda v, e, p, f: _chordal_body(ga.dtype, n, v, e, p, f)
+            lambda v, e, p, f, nd: _chordal_body(
+                ga.dtype, n, v, e, p, f, sym, nd
+            )
         )
-        _CHORDAL_CACHE[sig] = fn
-    pose2 = fn(values["Pose2"], edges, priors, ga.free["Pose2"])
+        cached = (fn, sym_dev)
+        _CHORDAL_CACHE[sig] = cached
+    fn, sym_dev = cached
+    pose2 = fn(values["Pose2"], edges, priors, ga.free["Pose2"], sym_dev)
     out = dict(values)
     out["Pose2"] = pose2
     return out
 
 
-def _chordal_body(dtype, n, pose2_values, edges, priors, free):
+def _chordal_body(dtype, n, pose2_values, edges, priors, free, sym=None,
+                  nd=None):
     # assembly/refinement precision: f64 when x64 is live (the Laplacian
     # solves need it — see _solve_spd_delta), else the graph dtype
     adt = jnp.float64 if jax.config.jax_enable_x64 else dtype
@@ -202,7 +312,13 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free):
     # Solved as one GN step from the current u (linear => exact), frozen
     # poses pinned so their u never moves.
     u0 = jnp.stack([jnp.cos(th0), jnp.sin(th0)], axis=-1)  # (n, 2)
-    A = jnp.zeros((2 * n, 2 * n), dtype=dtype)
+    # the dense normal matrix only feeds the f32 factorization — assemble
+    # it in f32 (emulated-f64 scatters into the (2n)^2 buffer dominated
+    # the whole init); gradient + CG matvec stay in refinement precision
+    f32m = jnp.float32
+    sparse = sym is not None
+    A = None if sparse else jnp.zeros((2 * n, 2 * n), dtype=f32m)
+    vals1 = []  # sparse-path contribution blocks, entry_coords order
     g = jnp.zeros((n, 2), dtype=dtype)
     for i, j, z, S, w in edges:
         wq = (S[:, 2, 2] * w) ** 2  # info weight of the rotation row
@@ -214,23 +330,36 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free):
         # g = A u - b contributions: J_j = I, J_i = -Rz
         g = g.at[j].add(wq[:, None] * r)
         g = g.at[i].add(-wq[:, None] * jnp.einsum("nji,nj->ni", Rz, r))
-        eye2 = jnp.broadcast_to(jnp.eye(2, dtype=dtype), Rz.shape)
-        wI = wq[:, None, None] * eye2
-        wRz = wq[:, None, None] * Rz
-        ii, jj = idx2(i), idx2(j)
-        A = A.at[jj[:, :, None], jj[:, None, :]].add(wI)
-        A = A.at[ii[:, :, None], ii[:, None, :]].add(wI)  # Rz^T Rz = I
-        A = A.at[jj[:, :, None], ii[:, None, :]].add(-wRz)
-        A = A.at[ii[:, :, None], jj[:, None, :]].add(
-            -jnp.swapaxes(wRz, -1, -2)
-        )
+        eye2 = jnp.broadcast_to(jnp.eye(2, dtype=f32m), Rz.shape)
+        wI = (wq[:, None, None]).astype(f32m) * eye2
+        wRz = (wq[:, None, None] * Rz).astype(f32m)
+        if sparse:
+            # (k,l) block order matches sparse.symbolic.entry_coords for a
+            # 2-slot batch with vslots (i, j):
+            # (0,0)->A[i,i]=wI  (0,1)->A[i,j]=-wRz^T
+            # (1,0)->A[j,i]=-wRz  (1,1)->A[j,j]=wI
+            vals1 += [wI.reshape(-1),
+                      (-jnp.swapaxes(wRz, -1, -2)).reshape(-1),
+                      (-wRz).reshape(-1), wI.reshape(-1)]
+        else:
+            ii, jj = idx2(i), idx2(j)
+            A = A.at[jj[:, :, None], jj[:, None, :]].add(wI)
+            A = A.at[ii[:, :, None], ii[:, None, :]].add(wI)  # Rz^T Rz = I
+            A = A.at[jj[:, :, None], ii[:, None, :]].add(-wRz)
+            A = A.at[ii[:, :, None], jj[:, None, :]].add(
+                -jnp.swapaxes(wRz, -1, -2)
+            )
     for idx, z, S, w in priors:
         wq = (S[:, 2, 2] * w) ** 2
         ut = jnp.stack([jnp.cos(z[:, 2]), jnp.sin(z[:, 2])], -1)
         g = g.at[idx].add(wq[:, None] * (u0[idx] - ut))
-        ii = idx2(idx)
-        eye2 = jnp.broadcast_to(jnp.eye(2, dtype=dtype), (idx.shape[0], 2, 2))
-        A = A.at[ii[:, :, None], ii[:, None, :]].add(wq[:, None, None] * eye2)
+        eye2 = jnp.broadcast_to(jnp.eye(2, dtype=f32m), (idx.shape[0], 2, 2))
+        wI = (wq[:, None, None]).astype(f32m) * eye2
+        if sparse:
+            vals1.append(wI.reshape(-1))
+        else:
+            ii = idx2(idx)
+            A = A.at[ii[:, :, None], ii[:, None, :]].add(wI)
     def mv_rot(xf):
         # edge-based A@x (O(m) — the dense f64 matvec is ~35 ms emulated)
         x = xf.reshape(n, 2)
@@ -250,13 +379,20 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free):
         return y.reshape(-1)
 
     f2 = jnp.repeat(free, 2)
-    du = _solve_spd_delta(A, g.reshape(-1), f2, dtype, matvec=mv_rot)
+    if sparse:
+        du = _ndchol_spd_delta(
+            sym, nd, jnp.concatenate(vals1), g.reshape(-1), f2, mv_rot,
+            dtype,
+        )
+    else:
+        du = _solve_spd_delta(A, g.reshape(-1), f2, dtype, matvec=mv_rot)
     u = u0 + du.reshape(n, 2)
     th = jnp.where(free > 0, jnp.arctan2(u[:, 1], u[:, 0]), th0)
 
     # -------- stage 2: translations (single linear solve) ------------------
     R = rot2(th)
-    A = jnp.zeros((2 * n, 2 * n), dtype=dtype)
+    A = None if sparse else jnp.zeros((2 * n, 2 * n), dtype=f32m)
+    vals2 = []
     g = jnp.zeros((n, 2), dtype=dtype)
 
     for i, j, z, S, w in edges:
@@ -269,18 +405,27 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free):
         RWRt = jnp.einsum("nik,nlk->nil", RW, Ri)       # R_i W R_i^T
         RWr = jnp.einsum("nij,nj->ni", RW, r)
         g = g.at[j].add(RWr).at[i].add(-RWr)
-        ii, jj = idx2(i), idx2(j)
-        A = A.at[jj[:, :, None], jj[:, None, :]].add(RWRt)
-        A = A.at[ii[:, :, None], ii[:, None, :]].add(RWRt)
-        A = A.at[jj[:, :, None], ii[:, None, :]].add(-RWRt)
-        A = A.at[ii[:, :, None], jj[:, None, :]].add(-RWRt)
+        RWRt32 = RWRt.astype(f32m)
+        if sparse:
+            # (0,0)->A[i,i]  (0,1)->A[i,j]  (1,0)->A[j,i]  (1,1)->A[j,j]
+            vals2 += [RWRt32.reshape(-1), (-RWRt32).reshape(-1),
+                      (-RWRt32).reshape(-1), RWRt32.reshape(-1)]
+        else:
+            ii, jj = idx2(i), idx2(j)
+            A = A.at[jj[:, :, None], jj[:, None, :]].add(RWRt32)
+            A = A.at[ii[:, :, None], ii[:, None, :]].add(RWRt32)
+            A = A.at[jj[:, :, None], ii[:, None, :]].add(-RWRt32)
+            A = A.at[ii[:, :, None], jj[:, None, :]].add(-RWRt32)
     for idx, z, S, w in priors:
         St = S[:, :2, :2]
         W = jnp.einsum("nij,nik->njk", St, St) * (w ** 2)[:, None, None]
         r = t0[idx] - z[:, :2]
         g = g.at[idx].add(jnp.einsum("njk,nk->nj", W, r))
-        ii = idx2(idx)
-        A = A.at[ii[:, :, None], ii[:, None, :]].add(W)
+        if sparse:
+            vals2.append(W.astype(f32m).reshape(-1))
+        else:
+            ii = idx2(idx)
+            A = A.at[ii[:, :, None], ii[:, None, :]].add(W.astype(f32m))
 
     def mv_tr(xf):
         x = xf.reshape(n, 2)
@@ -301,7 +446,12 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free):
         return y.reshape(-1)
 
     f2 = jnp.repeat(free, 2)
-    dt = _solve_spd_delta(A, g.reshape(-1), f2, dtype, matvec=mv_tr)
+    if sparse:
+        dt = _ndchol_spd_delta(
+            sym, nd, jnp.concatenate(vals2), g.reshape(-1), f2, mv_tr, dtype
+        )
+    else:
+        dt = _solve_spd_delta(A, g.reshape(-1), f2, dtype, matvec=mv_tr)
     t = t0 + dt.reshape(n, 2)
     # frozen poses stay bit-identical to the input (fixed-lag contract)
     out = jnp.concatenate([t, th[:, None]], axis=-1).astype(out_dtype)

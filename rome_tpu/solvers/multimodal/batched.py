@@ -439,34 +439,38 @@ class BatchedNonparametricSolver:
             self._params_all.append(p)
 
     # -- beliefs <-> dense arrays -------------------------------------------
+    # Assembled IN NUMPY with one device transfer per type: the previous
+    # per-variable jnp ops (row slicing / stacking of device arrays) cost a
+    # tunnel round-trip EACH — measured 13.3 s of the beehive-100 steady
+    # state before the sweeps even started.
     def gather_beliefs(self):
         out = {}
         for t in self.ga.type_names:
             man = self.ga.manifolds[t]
-            rows = []
-            for lbl in self.ga.var_labels[t]:
+            pdim = man.point_dim
+            buf = np.zeros((self.ga.counts[t], self.N, pdim), dtype=np.float64)
+            for slot, lbl in enumerate(self.ga.var_labels[t]):
                 rec = self.fg.variables[lbl]
                 pts = rec.beliefs.get(self.solve_key)
                 if pts is None:
                     p = rec.points.get(self.solve_key, rec.points.get("parametric"))
                     base = (
-                        jnp.asarray(p)
+                        np.asarray(p, dtype=np.float64)
                         if p is not None
-                        else jnp.asarray(man.identity())
+                        else np.asarray(man.identity(), dtype=np.float64)
                     )
-                    pts = jnp.broadcast_to(base, (self.N, base.shape[-1]))
+                    buf[slot] = np.broadcast_to(base, (self.N, pdim))
                 else:
-                    pts = jnp.asarray(pts)
+                    pts = np.asarray(pts, dtype=np.float64)
                     if pts.shape[0] != self.N:
-                        idx = np.resize(np.arange(pts.shape[0]), self.N)
-                        pts = pts[jnp.asarray(idx)]
-                rows.append(pts.astype(self.ga.dtype))
-            out[t] = jnp.stack(rows)
+                        pts = pts[np.resize(np.arange(pts.shape[0]), self.N)]
+                    buf[slot] = pts
+            out[t] = jnp.asarray(buf, self.ga.dtype)
         return out
 
     def scatter_beliefs(self, beliefs):
         for t in self.ga.type_names:
-            arr = beliefs[t]
+            arr = np.asarray(beliefs[t])  # ONE device fetch for the type
             free = np.asarray(self.ga.free[t])
             for slot, lbl in enumerate(self.ga.var_labels[t]):
                 if free[slot] == 0.0:

@@ -1,0 +1,122 @@
+"""Per-LM-iteration cost scaling: ndchol vs dense32 as the graph grows.
+
+The VERDICT r3 contract for the sparse solver: iteration cost that scales
+~O(nnz), not O(n^3). This measures ONE LM step (linearize + factorize +
+polish CG at fixed lam) on 2D grid pose graphs of growing size, both
+backends, on the real device. Writes NDCHOL_SCALING_r04.json.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_ndchol_scaling.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+from rome_tpu.utils.compile_cache import enable as enable_compile_cache
+
+enable_compile_cache()
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+import numpy as np
+
+from rome_tpu import FactorGraph, GNOptions, MvNormal, Pose2, Pose2Pose2, PriorPose2
+from rome_tpu.graph.lower import lower
+from rome_tpu.solvers.gauss_newton import ParametricSolver
+from rome_tpu.solvers.linearize import runtime_state
+
+
+def grid_graph(rows, cols, seed=0):
+    rng = np.random.default_rng(seed)
+    fg = FactorGraph()
+    fg.params.graphinit = False
+    n = rows * cols
+    for i in range(n):
+        fg.add_variable(f"x{i}", Pose2)
+        fg.init_variable(f"x{i}", [i % cols + rng.normal(0, 0.1),
+                                   i // cols + rng.normal(0, 0.1),
+                                   rng.normal(0, 0.05)])
+    fg.add_factor(["x0"], PriorPose2(MvNormal([0, 0, 0], [0.1, 0.1, 0.05])),
+                  graphinit=False)
+    for r in range(rows):
+        for c in range(cols):
+            i = r * cols + c
+            if c + 1 < cols:
+                fg.add_factor([f"x{i}", f"x{i+1}"],
+                              Pose2Pose2(MvNormal([1, 0, 0], [0.1, 0.1, 0.05])),
+                              graphinit=False)
+            if r + 1 < rows:
+                fg.add_factor([f"x{i}", f"x{i+cols}"],
+                              Pose2Pose2(MvNormal([0, 1, 0], [0.1, 0.1, 0.05])),
+                              graphinit=False)
+    return fg
+
+
+def time_step(solver, ga, rt):
+    lam = jnp.asarray(1e-3, ga.dtype)
+    vals = ga.values0
+    if solver._use64:
+        vals = {t: jnp.asarray(v, jnp.float64) for t, v in vals.items()}
+    if solver.linear == "ndchol":
+        rt = {**rt, "ndchol": solver._sym._dev}
+    out = solver._step(vals, lam, rt, solver._pstate0())
+    jax.block_until_ready(out[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = solver._step(vals, lam, rt, solver._pstate0())
+        jax.block_until_ready(out[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    rows_out = []
+    for rows, cols in ((40, 50), (70, 72), (100, 100)):
+        n = rows * cols
+        fg = grid_graph(rows, cols)
+        ga = lower(fg)
+        rt = runtime_state(ga)
+        nnz_factors = fg.num_factors
+        entry = dict(n_poses=n, n_factors=nnz_factors, dof=ga.total_dof)
+        for linear in ("ndchol", "dense32"):
+            if linear == "dense32" and n > 12000:
+                entry["dense32_ms"] = None  # H would exceed device memory
+                continue
+            opts = GNOptions(
+                linear=linear, polish_tol=5e-2, polish_iters=60,
+                chol_jitter=1e-7,
+            )
+            solver = ParametricSolver(ga, opts)
+            dt = time_step(solver, ga, rt)
+            entry[f"{linear}_ms"] = round(dt * 1e3, 2)
+            if linear == "ndchol":
+                st = solver._sym.stats
+                entry["ndchol_levels"] = st["nlev"]
+                entry["ndchol_max_front"] = st["max_front"]
+                entry["ndchol_front_entries"] = st["true_front_entries"]
+            print(entry, flush=True)
+        rows_out.append(entry)
+    doc = dict(
+        device=str(jax.devices()[0]),
+        what=(
+            "one LM step (linearize + factorize + loose CG polish, lam=1e-3) "
+            "on 2D grid pose graphs; ndchol iteration cost tracks the front "
+            "fill (~O(nnz of the sparse factor)) while dense32 grows ~n^3 "
+            "with the dense Cholesky"
+        ),
+        rows=rows_out,
+    )
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "NDCHOL_SCALING_r04.json"), "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc), flush=True)
+
+
+if __name__ == "__main__":
+    main()
+    os._exit(0)
