@@ -186,6 +186,35 @@ def main():
         detail["octagon"] = {"error": repr(e)}
 
     try:
+        # per-pose covariance recovery at M3500 scale (Takahashi selected
+        # inversion on the ND tree — testParametricCovariances.jl contract;
+        # the dense full-inverse was O(n^3)/O(n^2) and unusable here)
+        import time as _t
+
+        from rome_tpu.graph.lower import lower as _lower
+        from rome_tpu.solvers.gauss_newton import marginal_covariances
+
+        fg_cov = _build_graph(MANHATTAN)
+        ga_cov = _lower(fg_cov)
+        covs = marginal_covariances(ga_cov, ga_cov.values0, method="takahashi")
+        jax.block_until_ready(covs["Pose2"])
+        t0 = _t.time()
+        covs = marginal_covariances(ga_cov, ga_cov.values0, method="takahashi")
+        jax.block_until_ready(covs["Pose2"])
+        dt_cov = _t.time() - t0
+        import numpy as _np
+
+        detail["covariance_recovery"] = {
+            "method": "takahashi_selected_inverse",
+            "n_poses": int(ga_cov.counts["Pose2"]),
+            "warm_s": round(dt_cov, 3),
+            "per_pose_us": round(1e6 * dt_cov / ga_cov.counts["Pose2"], 1),
+            "finite": bool(_np.isfinite(_np.asarray(covs["Pose2"])).all()),
+        }
+    except Exception as e:
+        detail["covariance_recovery"] = {"error": repr(e)}
+
+    try:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
         import bench_kernels
 

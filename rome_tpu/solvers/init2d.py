@@ -195,6 +195,10 @@ def _ndchol_spd_delta(sym, nd, vals_vec, g, free2, matvec, out_dtype):
     bn = jnp.linalg.norm(b) + 1e-300
 
     def cond(state):
+        # initializer tolerance 1e-7: the M3500 flat valley is BRUTALLY
+        # sensitive to init precision — measured end-to-end ATE by chordal
+        # CG tol: 1e-7 -> 0.005-0.017 m, 3e-7 -> 1.41 m, 1e-6 -> 0.34 m
+        # (gate 0.1 m). Do not loosen.
         _x, r, _p, _rz, k = state
         return jnp.logical_and(k < 30, jnp.linalg.norm(r) > 1e-7 * bn)
 
@@ -258,13 +262,19 @@ def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
         return values
     priors = _pose2_priors(ga)
 
-    sig = (
-        n,
-        str(ga.dtype),
-        tuple(e[2].shape for e in edges),
-        tuple(p[1].shape for p in priors),
-        tuple(np.asarray(e[0]).tobytes() for e in edges) if n >= _SPARSE_THRESHOLD else None,
-    )
+    # the connectivity component of the signature costs device->host
+    # fetches of the vslot arrays — compute once per GraphArrays object
+    sig = getattr(ga, "_chordal_sig", None)
+    if sig is None:
+        sig = (
+            n,
+            str(ga.dtype),
+            tuple(e[2].shape for e in edges),
+            tuple(p[1].shape for p in priors),
+            tuple(np.asarray(e[0]).tobytes() for e in edges)
+            if n >= _SPARSE_THRESHOLD else None,
+        )
+        ga._chordal_sig = sig
     cached = _CHORDAL_CACHE.get(sig)
     if cached is None:
         if n >= _SPARSE_THRESHOLD:

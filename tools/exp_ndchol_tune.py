@@ -93,13 +93,12 @@ print(f"compile+first: {time.time()-t0:.1f}s", flush=True)
 print(json.dumps(first), flush=True)
 
 grid = [
-    (1e-7, 3e-2, 0.2, 1e-12),    # round-2 best: 0.519 s, ATE 0.017
-    (1e-7, 3e-2, 0.3, 1e-12),
-    (1e-7, 1e-1, 0.2, 1e-12),
-    (1e-7, 1e-1, 0.3, 1e-12),
-    (2e-7, 3e-2, 0.2, 1e-12),
-    (1e-7, 5e-2, 0.25, 1e-12),
-    (1e-7, 3e-1, 0.3, 1e-12),
+    (1e-7, 5e-2, 0.25, 1e-12),   # shipping config
+    (1e-7, 5e-2, 0.35, 1e-12),
+    (1e-7, 5e-2, 0.5, 1e-12),
+    (1e-7, 7e-2, 0.25, 1e-12),
+    (1e-7, 7e-2, 0.35, 1e-12),
+    (1e-7, 8e-2, 0.35, 1e-12),
 ]
 for g in grid:
     r = run(*g)

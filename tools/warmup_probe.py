@@ -1,0 +1,79 @@
+"""Warm-process warmup measurement -> WARMUP_r04.json.
+
+VERDICT r3 #2 asked for cold/warm/warm-process rows: this probe measures the
+WARM-PROCESS path (fresh interpreter, persistent XLA cache populated by any
+previous bench/solve run on this machine): wall from process start to the
+first completed M3500 solve, and the steady-state solve after it.
+
+Run AFTER bench.py (so the cache holds the bench-shaped programs):
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/warmup_probe.py
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+t_start = time.time()
+sys.path.insert(0, %r)
+os.chdir(%r)
+from rome_tpu.utils.compile_cache import enable
+enable()
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_matmul_precision", "highest")
+import bench as B
+from rome_tpu import solve_graph_parametric
+kw = dict(init=False, options=B._opts()["big"], chordal_init=True,
+          schedule="fused")
+fg = B._build_graph(B.MANHATTAN)
+res = solve_graph_parametric(fg, **kw)
+t_first = time.time() - t_start
+fg = B._build_graph(B.MANHATTAN)
+res = solve_graph_parametric(fg, **kw)
+print("PROBE " + json.dumps({
+    "warm_process_to_first_solve_s": round(t_first, 2),
+    "steady_solve_s": round(res["solve_time_s"], 3),
+    "iters": res["stats"].iterations,
+    "converged": res["stats"].converged,
+}))
+""" % (REPO, REPO)
+
+
+def main():
+    t0 = time.time()
+    p = subprocess.run(
+        [sys.executable, "-c", CHILD], capture_output=True, text=True,
+        timeout=1800, cwd=REPO,
+        env={**os.environ},
+    )
+    row = None
+    for ln in p.stdout.splitlines():
+        if ln.startswith("PROBE "):
+            row = json.loads(ln[len("PROBE "):])
+    if row is None:
+        print(p.stdout[-1500:])
+        print(p.stderr[-1500:], file=sys.stderr)
+        raise SystemExit("no PROBE line")
+    doc = dict(
+        what=(
+            "fresh-interpreter M3500 solve with the persistent XLA compile "
+            "cache warm (rome_tpu.utils.compile_cache) — the "
+            "warmUpSolverJIT / sysimage analogue. Cold compile (empty "
+            "cache) is reported as warmup_time_s in the bench detail."
+        ),
+        target_s=30,
+        meets_target=bool(row["warm_process_to_first_solve_s"] < 30),
+        **row,
+    )
+    with open(os.path.join(REPO, "WARMUP_r04.json"), "w") as fh:
+        json.dump(doc, fh, indent=1)
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()
