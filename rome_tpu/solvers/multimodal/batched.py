@@ -534,13 +534,26 @@ class BatchedNonparametricSolver:
         the default init (tests/test_multimodal_kl.py)."""
         self.fg.init_all(self.solve_key)
         ga = self.ga
-        ga2 = lower(self.fg, self.solve_key)  # refresh point estimates
         sigma = float(
             sigma if sigma is not None else self.fg.params.inflation * 0.1
         )
         for ti, t in enumerate(ga.type_names):
             man = ga.manifolds[t]
-            pts = jnp.asarray(ga2.values0[t], ga.dtype)  # (V, pdim)
+            # read refreshed point estimates straight off the records (a
+            # second full lower() here cost ~1-2 s of host time on beehive)
+            buf = np.stack(
+                [
+                    np.asarray(
+                        self.fg.variables[lbl].points.get(
+                            self.solve_key,
+                            np.asarray(man.identity(), dtype=np.float64),
+                        ),
+                        dtype=np.float64,
+                    )
+                    for lbl in ga.var_labels[t]
+                ]
+            )
+            pts = jnp.asarray(buf, ga.dtype)  # (V, pdim)
             eps = (
                 jax.random.normal(
                     jax.random.fold_in(key, ti), (ga.counts[t], self.N, man.dof)
