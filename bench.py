@@ -114,10 +114,10 @@ def _solve_dataset(path, gt_file, opts, warm=True):
         # timing span matched to the CPU proxy (tools/cpu_reference.py:306
         # times chordal init + LM only, not g2o packing or write-out):
         # solve_time_s covers init + compiled solve, excluding lower()
-        # array packing and host write_back. Best of 2 warm solves — single
+        # array packing and host write_back. Best of 3 warm solves — single
         # calls over the tunneled device carry ~0.1-0.3 s dispatch jitter.
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             fg2 = _build_graph(path)
             res = solve_graph_parametric(fg2, **kw)
             dt = min(dt, res["solve_time_s"])

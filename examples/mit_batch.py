@@ -31,6 +31,15 @@ def main(path=DEFAULT):
     st = res["stats"]
     print(f"solved in {dt:.2f}s: {st.iterations} iters, cost={st.final_cost:.2f}")
     save_dfg(fg, "/tmp/mit_solved")
+    # result figure (RoMEPlotting plotSLAM2D analogue,
+    # MITDatasetBatch.jl:46-50)
+    try:
+        from rome_tpu.services.plotting import plot_slam2d
+
+        plot_slam2d(fg, path="/tmp/mit_slam2d.png", title="MIT batch solve")
+        print("wrote /tmp/mit_slam2d.png")
+    except Exception as e:  # matplotlib optional at runtime
+        print("plot skipped:", e)
 
 
 if __name__ == "__main__":
