@@ -128,6 +128,12 @@ class GNOptions:
     # ndchol: leaf-region size (variables) of the nested-dissection tree —
     # smaller leaves = less densification fill, more tree levels
     nd_leaf: int = 16
+    # run the chordal (rotation-relaxation) init INSIDE the fused solve
+    # program: chordal + whole LM loop = ONE dispatch (over a tunneled
+    # device each extra program boundary costs a round-trip, and XLA can
+    # overlap the stages). Set by solve_graph_parametric for fused batch
+    # solves; requires a Pose2 odometry structure.
+    fused_chordal: bool = False
     verbose: bool = False
 
 
@@ -179,6 +185,22 @@ class ParametricSolver:
         self._sym = self._symbolic_for(ga.batches) if self.linear == "ndchol" else None
         self._sym_cache = {}
         self._alt_programs = {}
+        # fused-chordal: symbolic for the 2-dof init systems (sparse above
+        # the init2d threshold, dense-traced below)
+        self._chordal_sym = None
+        self._chordal_dev = {}
+        if self.opts.fused_chordal and "Pose2" in ga.counts:
+            from rome_tpu.solvers.init2d import (
+                _SPARSE_THRESHOLD, _chordal_symbolic, _pose2_edges,
+                _pose2_priors,
+            )
+
+            edges = _pose2_edges(ga)
+            if edges and ga.counts["Pose2"] >= _SPARSE_THRESHOLD:
+                self._chordal_sym = _chordal_symbolic(
+                    ga.counts["Pose2"], edges, _pose2_priors(ga)
+                )
+                self._chordal_dev = self._chordal_sym.device_arrs()
         self._step = jax.jit(self._make_step(self._sym))
         self._cost = jax.jit(lambda values, rt: cost_at(self.ga, values, rt))
 
@@ -796,7 +818,50 @@ class ParametricSolver:
         wdt = jnp.float64 if self._use64 else ga.dtype
         step_floor = 1e-4 if wdt == jnp.float32 else 1e-9
 
+        fused_chordal = bool(
+            opts.fused_chordal and "Pose2" in ga.counts
+            and any(
+                b.ftype.name in ("Pose2Pose2", "MutablePose2Pose2Gaussian")
+                for b in ga.batches
+            )
+        )
+        if fused_chordal:
+            from rome_tpu.solvers.init2d import _chordal_body
+
+            # batch roles are STATIC; the values (vslots/params/weights)
+            # ride in through rt so the traced chordal sees current data
+            edge_idx = [
+                i for i, b in enumerate(ga.batches)
+                if b.ftype.name in ("Pose2Pose2", "MutablePose2Pose2Gaussian")
+            ]
+            prior_idx = [
+                i for i, b in enumerate(ga.batches)
+                if b.ftype.name == "PriorPose2"
+            ]
+            chordal_sym = self._chordal_sym
+
+            def traced_chordal(values, rt):
+                edges = [
+                    (rt["vslots"][i][:, 0], rt["vslots"][i][:, 1],
+                     rt["params"][i]["z"], rt["params"][i]["sqrt_info"],
+                     rt["weight"][i])
+                    for i in edge_idx
+                ]
+                priors = [
+                    (rt["vslots"][i][:, 0], rt["params"][i]["z"],
+                     rt["params"][i]["sqrt_info"], rt["weight"][i])
+                    for i in prior_idx
+                ]
+                pose2 = _chordal_body(
+                    wdt, ga.counts["Pose2"], values["Pose2"], edges, priors,
+                    rt["free"]["Pose2"], chordal_sym,
+                    rt.get("chordal_nd", {}),
+                )
+                return {**values, "Pose2": pose2}
+
         def loop(values, lam, rt):
+            if fused_chordal:
+                values = traced_chordal(values, rt)
             hist0 = jnp.zeros((max_iters, 7), dtype=jnp.float32)
 
             def cond(state):
@@ -982,6 +1047,8 @@ class ParametricSolver:
         if self._use64:
             values = {t: jnp.asarray(v, jnp.float64) for t, v in values.items()}
         rt = rt if rt is not None else self._rt0
+        if self._chordal_sym is not None:
+            rt = {**rt, "chordal_nd": self._chordal_dev}
         lam = jnp.asarray(opts.lam0, dtype=ga.dtype)
         if self.linear == "ndchol":
             symr = self._sym_for_rt(rt)

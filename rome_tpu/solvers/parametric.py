@@ -79,7 +79,18 @@ def solve_graph_parametric(
     )
     t0 = time.time()
     values0 = ga.values0
-    if chordal_init and "Pose2" in ga.counts and ga.counts["Pose2"] > 2:
+    want_chordal = (
+        chordal_init and "Pose2" in ga.counts and ga.counts["Pose2"] > 2
+    )
+    if want_chordal and schedule == "fused" and opts.fused_chordal:
+        # opt-in fused path (GNOptions.fused_chordal): the chordal init
+        # runs INSIDE the compiled solve program — one dispatch for init +
+        # LM. Not the default: the merged program's one-time compile is
+        # substantially longer, which the separate-programs path amortizes
+        # better on short sessions (the steady-state win is ~2 dispatch
+        # round-trips).
+        pass
+    elif want_chordal:
         from rome_tpu.solvers.init2d import chordal_init_pose2
 
         values0 = chordal_init_pose2(ga, values0)
