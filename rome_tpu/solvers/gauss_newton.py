@@ -131,8 +131,11 @@ class GNOptions:
     # run the chordal (rotation-relaxation) init INSIDE the fused solve
     # program: chordal + whole LM loop = ONE dispatch (over a tunneled
     # device each extra program boundary costs a round-trip, and XLA can
-    # overlap the stages). Set by solve_graph_parametric for fused batch
-    # solves; requires a Pose2 odometry structure.
+    # overlap the stages). Only the fused :meth:`ParametricSolver.solve`
+    # loop honors this (solve_host ignores it); requires a Pose2 odometry
+    # structure. Safe to combine with an already-initialized start: the
+    # chordal stages are exact linear solves whose result is independent of
+    # the incoming rotations/translations (idempotent).
     fused_chordal: bool = False
     verbose: bool = False
 
