@@ -66,7 +66,7 @@ def _opts():
             # the 0.1 m gate — 1e-1 crosses it); dtol 0.25 stops when
             # accepted steps shrink below decimeter scale.
             big=GNOptions(
-                max_iters=30, linear="ndchol", polish_tol=5e-2,
+                max_iters=30, linear="ndchol", polish_tol=5e-2, nd_leaf=32,
                 polish_iters=60, lam0=1e-6, lam_down=0.1, lam_min=1e-12,
                 chol_jitter=1e-7, dtol=0.25, ftol=1e-9, gtol=1e-8,
             ),
