@@ -215,6 +215,51 @@ def test_marginal_covariances_takahashi_matches_dense():
         )
 
 
+def test_ndchol_mixed_types_pose_landmark():
+    """Mixed variable types (Pose2 dof-3 + Point2 dof-2) through the sparse
+    solve: bearing-range SLAM structure (the reference's canonical
+    pose+landmark graphs, e.g. testParametric.jl sightings)."""
+    from rome_tpu import Normal, Point2, Pose2Point2BearingRange
+
+    rng = np.random.default_rng(9)
+    fg = FactorGraph()
+    n = 40
+    for i in range(n):
+        fg.add_variable(f"x{i}", Pose2)
+    for j in range(8):
+        fg.add_variable(f"l{j}", Point2)
+    fg.add_factor(["x0"], PriorPose2(MvNormal([0, 0, 0], [0.1, 0.1, 0.05])))
+    for i in range(n - 1):
+        fg.add_factor(
+            [f"x{i}", f"x{i+1}"],
+            Pose2Pose2(MvNormal([1, 0, rng.normal(0, 0.05)], [0.1, 0.1, 0.05])),
+        )
+    for i in range(0, n, 3):
+        j = (i // 3) % 8
+        fg.add_factor(
+            [f"x{i}", f"l{j}"],
+            Pose2Point2BearingRange(
+                Normal(rng.uniform(-1, 1), 0.05), Normal(5.0, 0.3)
+            ),
+        )
+    fg.init_all()
+    ga, rt, sym = _symbolic_and_parts(fg, leaf=6)
+    lam = jnp.asarray(1e-4, jnp.float64)
+    lins, Hs, b = _scaled_system(ga, rt, lam)
+    x_dense = jnp.linalg.solve(Hs, b)
+    arrs, Linvs, L21s = _ndchol_factor(ga, rt, sym, lins, lam)
+    x_nd = ndchol_solve(sym, arrs, Linvs, L21s, b)
+    np.testing.assert_allclose(
+        np.asarray(x_nd), np.asarray(x_dense), rtol=0, atol=1e-8
+    )
+    # full LM solve through the public API
+    res = solve_graph_parametric(
+        fg, init=False, options=GNOptions(linear="ndchol", nd_leaf=6),
+        chordal_init=False,
+    )
+    assert res["stats"].converged
+
+
 def test_symbolic_handles_disconnected_and_tiny():
     """Disconnected components and a graph smaller than the leaf size."""
     fg = FactorGraph()
