@@ -34,6 +34,7 @@ from rome_tpu.manifolds.base import Manifold
 # versions re-traced AND re-compiled a throwaway scan per call — graph init
 # on a 100-pose beehive spent 35 s in XLA compiles on them.
 _KDE_JIT_CACHE: dict = {}
+_KDE_TOKEN = 0  # monotonic token source for non-core manifold signatures
 
 
 def _man_signature(man: Manifold):
@@ -50,7 +51,20 @@ def _man_signature(man: Manifold):
         )
     base = (type(man).__name__, man.name, man.dof, man.point_dim)
     core = type(man).__module__.startswith("rome_tpu.manifolds")
-    return base if core else base + (id(man),)
+    if core:
+        return base
+    # non-core subclasses: a per-instance monotonic token, NOT id() —
+    # CPython reuses ids after GC, which would alias cache entries of a
+    # dead manifold onto a structurally different new one
+    tok = getattr(man, "_kde_cache_token", None)
+    if tok is None:
+        global _KDE_TOKEN
+        tok = _KDE_TOKEN = _KDE_TOKEN + 1
+        try:
+            man._kde_cache_token = tok
+        except Exception:
+            pass  # frozen instance: uncached (correct, just slower)
+    return base + (tok,)
 
 
 def _cached_kernel(man: Manifold, name: str, build):
