@@ -154,7 +154,8 @@ def _solve_spd_delta(A, g, free, dtype, matvec=None):
     return (y * d * f).astype(dtype)
 
 
-def _ndchol_spd_delta(sym, nd, vals_vec, g, free2, matvec, out_dtype):
+def _ndchol_spd_delta(sym, nd, vals_vec, g, free2, matvec, out_dtype,
+                      tol=1e-7, ridge=1e-6):
     """Sparse twin of :func:`_solve_spd_delta`: ND multifrontal f32
     factorization of the 2-dof chordal system as the preconditioner of a
     refinement-precision CG against the edge-based matvec. No dense (2n)^2
@@ -174,7 +175,7 @@ def _ndchol_spd_delta(sym, nd, vals_vec, g, free2, matvec, out_dtype):
     )
     dv = jax.lax.rsqrt(jnp.maximum(diag_A, 1e-12))
     df = dv * f
-    diag_add = f * 1e-6 + (1.0 - f)  # same ridge as the dense path
+    diag_add = f * ridge + (1.0 - f)  # preconditioner ridge (see sweep note)
     Ws = ndchol_assemble(sym, nd, vals32, df, diag_add)
     Linvs, L21s, _L11s = ndchol_factorize(sym, nd, Ws)
 
@@ -195,12 +196,12 @@ def _ndchol_spd_delta(sym, nd, vals_vec, g, free2, matvec, out_dtype):
     bn = jnp.linalg.norm(b) + 1e-300
 
     def cond(state):
-        # initializer tolerance 1e-7: the M3500 flat valley is BRUTALLY
-        # sensitive to init precision — measured end-to-end ATE by chordal
-        # CG tol: 1e-7 -> 0.005-0.017 m, 3e-7 -> 1.41 m, 1e-6 -> 0.34 m
-        # (gate 0.1 m). Do not loosen.
+        # default tolerance 1e-7: the M3500 flat valley is BRUTALLY
+        # sensitive to ROTATION-stage init precision — measured end-to-end
+        # ATE by chordal CG tol: 1e-7 -> 0.005-0.017 m, 3e-7 -> 1.41 m,
+        # 1e-6 -> 0.34 m (gate 0.1 m). Do not loosen the rotation stage.
         _x, r, _p, _rz, k = state
-        return jnp.logical_and(k < 30, jnp.linalg.norm(r) > 1e-7 * bn)
+        return jnp.logical_and(k < 30, jnp.linalg.norm(r) > tol * bn)
 
     def body(state):
         x, r, p, rz, k = state
@@ -230,8 +231,24 @@ _CHORDAL_CACHE: dict = {}
 # last O(n^3) block in the whole M3500 pipeline)
 _SPARSE_THRESHOLD = 300
 
+# Chordal solve tunables (swept on-chip with end-to-end ATE validation,
+# tools/exp_chordal_tune.py r5; warm M3500 chordal 195 ms -> 121 ms):
+# - leaf 64 (vs the sparse solver's default 16) halves the ND tree depth of
+#   the 2-dof systems; each CG application is a 2-sweep level walk, so
+#   fewer levels = fewer sequential small kernels per iteration.
+# - ridge 1e-7 on the f32 preconditioner (measured: 1e-6 -> warm 176 ms,
+#   1e-7 -> 121 ms via faster CG contraction; ATE unchanged at 0.0175).
+# - BOTH stage tolerances stay 1e-7: loosening the TRANSLATION stage to
+#   1e-4 looked harmless in isolation (init 66 ms) but sent the full LM
+#   to 27-30 iterations and ATE 3.3-6.0 m (gate 0.1) — the flat-valley
+#   basin is set by translation init quality as much as rotation.
+_CHORDAL_LEAF = 64
+_CHORDAL_RIDGE = 1e-7
+_CHORDAL_TOL_ROT = 1e-7
+_CHORDAL_TOL_TRANS = 1e-7
 
-def _chordal_symbolic(n, edges, priors):
+
+def _chordal_symbolic(n, edges, priors, leaf=None):
     """Symbolic ND factorization of the 2-dof chordal systems (both stages
     share the pose graph's sparsity)."""
     import numpy as np
@@ -246,7 +263,10 @@ def _chordal_symbolic(n, edges, priors):
         )
     for idx, _z, _S, _w in priors:
         specs.append((("U",), np.asarray(idx)[:, None].astype(np.int64)))
-    return symbolic_factor(["U"], {"U": n}, {"U": 2}, specs)
+    return symbolic_factor(
+        ["U"], {"U": n}, {"U": 2}, specs,
+        leaf=leaf if leaf is not None else _CHORDAL_LEAF,
+    )
 
 
 def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
@@ -269,9 +289,20 @@ def chordal_init_pose2(ga: GraphArrays, values, dense_limit: int = 20000):
         sig = (
             n,
             str(ga.dtype),
+            (_CHORDAL_LEAF, _CHORDAL_RIDGE, _CHORDAL_TOL_ROT,
+             _CHORDAL_TOL_TRANS),
             tuple(e[2].shape for e in edges),
             tuple(p[1].shape for p in priors),
-            tuple(np.asarray(e[0]).tobytes() for e in edges)
+            # full connectivity: source AND target slots for edges, plus
+            # prior slots — hashing sources alone can collide two graphs
+            # with equal counts but different targets, silently reusing the
+            # wrong symbolic scatter maps
+            tuple(
+                np.asarray(e[0]).tobytes() + np.asarray(e[1]).tobytes()
+                for e in edges
+            )
+            if n >= _SPARSE_THRESHOLD else None,
+            tuple(np.asarray(p[0]).tobytes() for p in priors)
             if n >= _SPARSE_THRESHOLD else None,
         )
         ga._chordal_sig = sig
@@ -392,7 +423,7 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free, sym=None,
     if sparse:
         du = _ndchol_spd_delta(
             sym, nd, jnp.concatenate(vals1), g.reshape(-1), f2, mv_rot,
-            dtype,
+            dtype, tol=_CHORDAL_TOL_ROT, ridge=_CHORDAL_RIDGE,
         )
     else:
         du = _solve_spd_delta(A, g.reshape(-1), f2, dtype, matvec=mv_rot)
@@ -458,7 +489,8 @@ def _chordal_body(dtype, n, pose2_values, edges, priors, free, sym=None,
     f2 = jnp.repeat(free, 2)
     if sparse:
         dt = _ndchol_spd_delta(
-            sym, nd, jnp.concatenate(vals2), g.reshape(-1), f2, mv_tr, dtype
+            sym, nd, jnp.concatenate(vals2), g.reshape(-1), f2, mv_tr, dtype,
+            tol=_CHORDAL_TOL_TRANS, ridge=_CHORDAL_RIDGE,
         )
     else:
         dt = _solve_spd_delta(A, g.reshape(-1), f2, dtype, matvec=mv_tr)
