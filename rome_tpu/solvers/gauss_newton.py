@@ -98,7 +98,12 @@ class GNOptions:
     lam_down: float = 0.25
     lam_up: float = 8.0
     gtol: float = 1e-8
-    ftol: float = 1e-10
+    # ftol=None -> dtype-aware: 1e-10 when values are carried in f64,
+    # 3e-7 (just above f32 cost-accumulation noise) when they are f32 —
+    # a relative ftol below the working dtype's resolution can NEVER fire,
+    # so a warm-started solve grinds to max_iters on noise-level
+    # "improvements" and reports converged=false (INCREMENTAL_r04 tail)
+    ftol: float = None
     xtol: float = 1e-10
     linear: str = "auto"  # "dense"|"dense32"|"ndchol"|"pcg"|"mixed"|"auto"
     dense_threshold: int = 3000   # total dof below which dense Cholesky wins
@@ -180,6 +185,12 @@ class ParametricSolver:
             self.linear in ("dense32", "ndchol")
             and bool(jax.config.jax_enable_x64)
             and ga.dtype == jnp.float32
+        )
+        # dtype-aware effective ftol (see GNOptions.ftol)
+        self._ftol = (
+            self.opts.ftol
+            if self.opts.ftol is not None
+            else (1e-10 if (self._use64 or ga.dtype == jnp.float64) else 3e-7)
         )
         self._rt0 = runtime_state(ga)
         # ndchol: one-time host symbolic analysis bound to THIS graph's
@@ -568,8 +579,13 @@ class ParametricSolver:
             # f32 Hvp (native speed) is precise enough — only the RHS b
             # (gradient) and the cost evaluations stay in f64. At tight
             # polish_tol the f64 emulated matvec is kept (its error would
-            # floor the achievable residual).
-            if opts.polish_tol >= 1e-3 and wdt != jnp.float32:
+            # floor the achievable residual). The branch is STATIC, so when
+            # the effective tol rides in traced via rt["ndchol_tune"] we
+            # must not pick f32 from the (possibly looser) static default —
+            # a tuned tol tighter than ~1e-3 against the f32 matvec floors
+            # the residual and CG spins to its cap. Tuned sweeps therefore
+            # always get the f64 matvec.
+            if tune is None and opts.polish_tol >= 1e-3 and wdt != jnp.float32:
                 lins32 = [
                     (bb, r0.astype(f32), tuple(J.astype(f32) for J in Js), vs)
                     for bb, r0, Js, vs in lins
@@ -888,7 +904,7 @@ class ParametricSolver:
                 # truncated CG step under a stale preconditioner barely
                 # moves cost and would otherwise fire ftol at a
                 # non-stationary point.
-                ftol_hit = jnp.abs(cost_prev - cost1) <= opts.ftol * jnp.maximum(
+                ftol_hit = jnp.abs(cost_prev - cost1) <= self._ftol * jnp.maximum(
                     1.0, jnp.abs(cost_prev)
                 )
                 tune = rt.get("ndchol_tune") if isinstance(rt, dict) else None
@@ -1011,7 +1027,7 @@ class ParametricSolver:
                 elif exact and dn < opts.xtol:
                     code = 2
                 elif exact and np.isfinite(cost_prev) and abs(cost_prev - c1) <= (
-                    opts.ftol * max(1.0, abs(cost_prev))
+                    self._ftol * max(1.0, abs(cost_prev))
                 ):
                     code = 3
                 elif opts.dtol > 0 and dn < opts.dtol and float(lam) <= opts.lam0:
@@ -1191,7 +1207,12 @@ def _marginal_covariances_takahashi(ga: GraphArrays, lins, rt, hdt):
     )
 
     rt = rt if rt is not None else runtime_state(ga)
-    sym = getattr(ga, "_cov_sym", None)
+    # cache keyed on the rt's actual connectivity (vslots bytes) — the same
+    # GraphArrays can be solved under alternate-connectivity rts, and a plan
+    # cached by ga identity alone would silently return wrong covariances
+    key = tuple(np.asarray(v).tobytes() for v in rt["vslots"])
+    cached = getattr(ga, "_cov_sym", None)
+    sym = cached[1] if cached is not None and cached[0] == key else None
     if sym is None:
         dofs = {t: ga.manifolds[t].dof for t in ga.type_names}
         specs = [
@@ -1199,7 +1220,7 @@ def _marginal_covariances_takahashi(ga: GraphArrays, lins, rt, hdt):
         ]
         sym = symbolic_factor(ga.type_names, ga.counts, dofs, specs)
         sym._dev = sym.device_arrs()
-        ga._cov_sym = sym
+        ga._cov_sym = (key, sym)
     arrs = sym._dev
     vals = normal_eq_entry_values(ga, lins, dtype=hdt)
     fvec = free_vector(ga, rt).astype(hdt)

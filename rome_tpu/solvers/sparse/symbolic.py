@@ -554,6 +554,15 @@ def symbolic_factor(
         arrs[f"tak_bb_{l}"] = tak.reshape(-1).astype(np.int32)
 
     front_nnz = sum(p[0] * (p[1] + p[2]) ** 2 for p in plan)
+    # flat front indices (tak_bb_*, asm_dst_*, ea_dst_*) are int32; past
+    # 2^31 padded entries they would wrap and silently corrupt the
+    # factorization — fail loudly instead (int64 index support would need
+    # a wider gather path, not just a dtype change)
+    if front_nnz >= 2**31:
+        raise OverflowError(
+            f"symbolic_factor: {front_nnz} padded front entries exceed "
+            "int32 index range; reduce problem size or raise nd_leaf"
+        )
     stats = {
         "n_vars": n_vars,
         "n_nodes": n_nodes,
