@@ -282,7 +282,20 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
             jnp.sum((a[t] * b[t]) * fown[t][:, None]) for t in a
         )
 
-    def build():
+    def build(mode="solve"):
+        """``mode``: "solve" = the fused LM loop (production);
+        phase probes for the scaling decomposition (SCALING_r05):
+        "lin_cost"     = sep exchange + linearize + cost psum only
+        "schur_full"   = one full Schur step (linearize + local elimination
+                         + fused psum + separator solve + back-substitute)
+        "schur_nopsum" = same with the fused reduction skipped (local-only
+                         work; full-minus-this isolates collective time)
+        "schur_nosep"  = same with the replicated separator solve skipped
+                         (full-minus-this isolates the replicated solve)
+        """
+        skip_psum = mode == "schur_nopsum"
+        skip_sep = mode == "schur_nosep"
+
         def core(own_vals, lam, sep_srcS, sep_ownS, own2sepS, own_validS,
                  free_ownS, free_sepS, fbsS):
             # all routing tables arrive sharded with a leading size-1 axis
@@ -414,8 +427,19 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
 
             def cost_of(vloc):
                 lins = linearize_local(vloc)
-                c = sum(0.5 * jnp.sum(r0 * r0) for _vt, _vs, r0, _J in lins)
-                return jax.lax.psum(c, axis), lins
+                # f64 accumulation + f64 psum: the LM accept test compares
+                # cost1 < cost0, and an f32 cross-process psum's reduction
+                # order perturbs the sum at ~1e-7 relative — enough to flip
+                # accept decisions and drift the iteration count between
+                # single- and multi-process runs of the identical problem
+                # (MULTIPROC_r04: 11 vs 18 iters). f64 collectives make the
+                # perturbation ~1e-16, far below any accept threshold.
+                cdt = jnp.float64 if jax.config.jax_enable_x64 else dtype
+                c = sum(
+                    0.5 * jnp.sum(r0.astype(cdt) * r0.astype(cdt))
+                    for _vt, _vs, r0, _J in lins
+                )
+                return jax.lax.psum(c, axis).astype(dtype), lins
 
             def boxplus_own(own, delta):
                 out = {}
@@ -546,21 +570,31 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                 pack = jnp.concatenate(
                     [S_d.reshape(-1), r_d, gl[D_own:], gI_sq[None]]
                 )
-                pack = jax.lax.psum(pack, axis)
+                # f64 reduction (see cost_of): keeps the summed Schur system
+                # bit-stable across process topologies, so single- and
+                # multi-process runs follow the same LM trajectory
+                cdt = jnp.float64 if jax.config.jax_enable_x64 else dtype
+                if not skip_psum:
+                    pack = jax.lax.psum(pack.astype(cdt), axis).astype(dtype)
                 S = pack[: D_sep * D_sep].reshape(D_sep, D_sep)
                 r_S = pack[D_sep * D_sep : D_sep * D_sep + D_sep]
                 g_S = pack[D_sep * D_sep + D_sep : -1]
                 gnorm = jnp.sqrt(pack[-1] + jnp.sum(g_S**2))
                 # replicated separator solve (identical on every device)
-                sep_act = (jnp.abs(jnp.diag(S)) > 0).astype(dtype)
-                S = S + jnp.diag(1.0 - sep_act)
-                dS = jax.lax.rsqrt(jnp.maximum(jnp.diag(S), 1e-12))
-                Ss = S * dS[:, None] * dS[None, :] + 1e-6 * jnp.eye(
-                    D_sep, dtype=dtype
-                )
-                Ls, lows = jax.scipy.linalg.cho_factor(Ss, lower=True)
-                x_S = dS * jax.scipy.linalg.cho_solve((Ls, lows), dS * r_S)
-                x_S = x_S * sep_act
+                if skip_sep:
+                    x_S = jnp.zeros((D_sep,), dtype)
+                else:
+                    sep_act = (jnp.abs(jnp.diag(S)) > 0).astype(dtype)
+                    S = S + jnp.diag(1.0 - sep_act)
+                    dS = jax.lax.rsqrt(jnp.maximum(jnp.diag(S), 1e-12))
+                    Ss = S * dS[:, None] * dS[None, :] + 1e-6 * jnp.eye(
+                        D_sep, dtype=dtype
+                    )
+                    Ls, lows = jax.scipy.linalg.cho_factor(Ss, lower=True)
+                    x_S = dS * jax.scipy.linalg.cho_solve(
+                        (Ls, lows), dS * r_S
+                    )
+                    x_S = x_S * sep_act
                 # back-substitute interiors (local)
                 x_I = dI * jax.scipy.linalg.cho_solve(
                     (L, lower), dI * (b_I - A_IS @ x_S)
@@ -596,6 +630,16 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                 return new_own, cost0, cost1, gnorm, dnorm, ok, jnp.ones(
                     (), jnp.int32
                 )
+
+            # ---- phase probes (scaling decomposition) ---------------------
+            if mode != "solve":
+                own0p = {t: _sq(own_vals[t]) for t in tn}
+                cth, linsp = cost_of(with_sep(own0p, sep_exchange(own0p)))
+                if mode == "lin_cost":
+                    return cth
+                deltap, gnp = schur_solve(linsp, lam)
+                # fold delta in so no phase gets dead-code-eliminated
+                return gnp + 0.0 * sum(jnp.sum(deltap[t]) for t in tn) + 0.0 * cth
 
             # ---- fused LM loop (Marquardt schedule in-graph) --------------
             def lm_cond(state):
