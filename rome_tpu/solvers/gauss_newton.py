@@ -28,6 +28,7 @@ from rome_tpu.solvers.linearize import (
     gradient_from_lins,
     hvp_from_lins,
     linearize_all,
+    linearize_all_mixed_j,
     normal_eq_entry_values,
     runtime_state,
     structure_signature,
@@ -142,6 +143,24 @@ class GNOptions:
     # chordal stages are exact linear solves whose result is independent of
     # the incoming rotations/translations (idempotent).
     fused_chordal: bool = False
+    # ndchol: evaluate residuals in f64 but Jacobians in native f32
+    # (linearize_all_mixed_j) — J feeds only f32 consumers in this path
+    # (assembly, factorization, loose-polish Hvp); r alone carries the
+    # f64-critical cost/gradient information. Measured ATE-neutral on
+    # M3500/MIT at ~1/3 less per-iteration wall.
+    mixed_jacobians: bool = True
+    # ndchol fused loop: linearize at the trial point (residuals double as
+    # the trial cost; accepted steps hand the linearization straight to the
+    # next iteration) — removes the separate cost_at(trial) pass and the
+    # final cost eval. A rejected step wastes one linearize (same price as
+    # the pass it replaced).
+    speculative: bool = True
+    # ndchol: reuse the multifrontal factorization across LM iterations,
+    # rebuilding only when the previous CG ran past precond_cg_cap
+    # iterations (the staleness signal — same lazy policy as the mixed
+    # solver's dense preconditioner)
+    precond_reuse: bool = True
+    precond_cg_cap: int = 15
     verbose: bool = False
 
 
@@ -561,13 +580,37 @@ class ParametricSolver:
             diag_add = fvec32 * (
                 lam32 / (1.0 + lam32) + jitter
             ) + (1.0 - fvec32)
-            Ws = ndchol_assemble(sym, nd, vals, df, diag_add)
-            Linvs, L21s, _L11s = ndchol_factorize(sym, nd, Ws)
-            dfW = df.astype(wdt)
+
+            def _refresh(_):
+                Ws = ndchol_assemble(sym, nd, vals, df, diag_add)
+                Linvs, L21s, _L11s = ndchol_factorize(sym, nd, Ws)
+                return Linvs, L21s, df
+
+            # lazy preconditioner refresh (same policy as solve_mixed): the
+            # level-batched factorize is ~40% of an LM iteration's wall but
+            # the damped system changes slowly along the LM path — reuse
+            # the previous factorization (CG corrects through it; `exact`
+            # stays residual-tested) and rebuild only when the previous CG
+            # ran long (stale) — mismatch costs ~1.3 ms/extra CG iter vs
+            # ~20 ms per avoided factorize at M3500.
+            reuse = (
+                opts.precond_reuse
+                and isinstance(pstate, dict)
+                and "Linvs" in pstate
+            )
+            if reuse:
+                Linvs, L21s, dfp = jax.lax.cond(
+                    pstate["stale"], _refresh,
+                    lambda _: (pstate["Linvs"], pstate["L21s"],
+                               pstate["df"]),
+                    None,
+                )
+            else:
+                Linvs, L21s, dfp = _refresh(None)
 
             def minv(r):
-                y = ndchol_solve(sym, nd, Linvs, L21s, r.astype(f32) * df)
-                return (y * df).astype(wdt)
+                y = ndchol_solve(sym, nd, Linvs, L21s, r.astype(f32) * dfp)
+                return (y * dfp).astype(wdt)
 
             g = gradient_from_lins(gaW, lins, rt)
             fvecW = free_vector(gaW, rt).astype(wdt)
@@ -615,7 +658,16 @@ class ParametricSolver:
             bn = jnp.linalg.norm(b) + 1e-300
             exact = jnp.linalg.norm(r) <= ptol * bn
             pred = 0.5 * (jnp.vdot(b, x) + jnp.vdot(x, r))
-            return delta, g, pstate_empty, exact, {
+            if reuse:
+                new_pstate = {
+                    "Linvs": Linvs, "L21s": L21s, "df": dfp,
+                    # refresh signal: the CG needed enough iterations that
+                    # the stale factor stopped paying for itself
+                    "stale": k >= opts.precond_cg_cap,
+                }
+            else:
+                new_pstate = pstate_empty
+            return delta, g, new_pstate, exact, {
                 "pred": pred, "cg_iters": k,
             }
 
@@ -738,10 +790,20 @@ class ParametricSolver:
         # masks ftol-level cost changes and the loop never terminates early
         cdt = jnp.float64 if _X64_OK else ga.dtype
 
+        # ndchol: f64 residuals + f32 Jacobians (linearize_all_mixed_j) —
+        # every J consumer in this path is f32 already; J at emulated f64
+        # was ~1/3 of the whole LM iteration wall
+        mixed_j = (
+            self.linear == "ndchol" and opts.mixed_jacobians and use64
+        )
+
         def step(values, lam, rt, pstate=None):
             if pstate is None:
-                pstate = self._pstate0()
-            lins = linearize_all(gaW, values, rt)
+                pstate = self._pstate0(sym)
+            if mixed_j:
+                lins = linearize_all_mixed_j(gaW, ga, values, rt)
+            else:
+                lins = linearize_all(gaW, values, rt)
             cost0 = sum(
                 0.5 * jnp.sum(r0.astype(cdt) * r0.astype(cdt))
                 for _b, r0, _J, _v in lins
@@ -793,12 +855,45 @@ class ParametricSolver:
                 new_pstate, exact, cg_iters,
             )
 
+        # expose the building blocks for the speculative-accept loop
+        # (_make_solve_loop ndchol path) without re-tracing them
+        def linize(values, rt):
+            if mixed_j:
+                return linearize_all_mixed_j(gaW, ga, values, rt)
+            return linearize_all(gaW, values, rt)
+
+        step.parts = dict(
+            linear_solve=linear_solve, boxplus_all=boxplus_all, cdt=cdt,
+            linize=linize,
+        )
         return step
 
-    def _pstate0(self):
-        """Initial lazy-preconditioner state (mixed solver): stale=True
-        forces a factorization on the first iteration; the zero buffers are
-        placeholders XLA never reads on the refresh branch."""
+    def _pstate0(self, sym=None):
+        """Initial lazy-preconditioner state: stale=True forces a
+        factorization on the first iteration; the zero buffers are
+        placeholders XLA never reads on the refresh branch. ``sym`` selects
+        the ndchol plan whose front shapes the state must match (defaults
+        to this solver's own)."""
+        if self.linear == "ndchol":
+            if not self.opts.precond_reuse:
+                return {}
+            sym = sym if sym is not None else self._sym
+            f32 = jnp.float32
+            Linvs, L21s = [], []
+            for n_l, sm, bm in sym.plan:
+                if n_l == 0:
+                    Linvs.append(None)
+                    L21s.append(None)
+                    continue
+                Linvs.append(jnp.zeros((n_l, sm, sm), f32))
+                L21s.append(
+                    jnp.zeros((n_l, bm, sm), f32) if bm else None
+                )
+            return {
+                "Linvs": Linvs, "L21s": L21s,
+                "df": jnp.zeros((sym.D,), f32),
+                "stale": jnp.asarray(True),
+            }
         if self.linear != "mixed":
             return {}
         from rome_tpu.solvers.linearize import tangent_offsets
@@ -877,6 +972,190 @@ class ParametricSolver:
                     rt.get("chordal_nd", {}),
                 )
                 return {**values, "Pose2": pose2}
+
+        # Speculative-accept loop (ndchol): linearize AT THE TRIAL POINT —
+        # its residuals give the trial cost for free, and on accept (the
+        # overwhelmingly common case post-chordal-init) the linearization
+        # is exactly what the next iteration needs, so the separate
+        # cost_at(trial) pass AND the final cost_at disappear. A rejected
+        # step wastes one linearize (same cost as the pass it replaced).
+        speculative = self.linear == "ndchol" and opts.speculative
+        if speculative:
+            parts = step.parts
+            linear_solve = parts["linear_solve"]
+            boxplus_all = parts["boxplus_all"]
+            linize = parts["linize"]
+
+            def sumsq(lins):
+                return sum(
+                    0.5 * jnp.sum(r0.astype(cdt) * r0.astype(cdt))
+                    for _b, r0, _J, _v in lins
+                )
+
+            def loop(values, lam, rt):
+                if fused_chordal:
+                    values = traced_chordal(values, rt)
+                lins0 = linize(values, rt)
+                cost_cur0 = sumsq(lins0)
+                carried0 = [(r0, Js) for _b, r0, Js, _v in lins0]
+                hist0 = jnp.zeros((max_iters, 7), dtype=jnp.float32)
+
+                def rebuild(carried, rt):
+                    return [
+                        (b, r0, Js, rt["vslots"][i])
+                        for i, (b, (r0, Js)) in enumerate(
+                            zip(ga.batches, carried)
+                        )
+                    ]
+
+                def cond(state):
+                    (_v, _c, _cc, _lam, it, _cp, _nr, code, _g, _h,
+                     _ps) = state
+                    return jnp.logical_and(it < max_iters, code == 0)
+
+                def body(state):
+                    (values, carried, cost0, lam, it, cost_prev, n_rej,
+                     code, _g, hist, pstate) = state
+                    lins = rebuild(carried, rt)
+                    delta, g, pstate, exact, extras = linear_solve(
+                        lins, lam, rt, pstate
+                    )
+                    gvec = g if isinstance(g, dict) else unflatten_tangent(
+                        gaW, g
+                    )
+                    gnorm = jnp.sqrt(_tdot(gvec, gvec))
+                    dnorm = jnp.sqrt(_tdot(delta, delta))
+                    trial = boxplus_all(values, delta, rt)
+                    lins_t = linize(trial, rt)
+                    cost1 = sumsq(lins_t)
+                    pred = extras["pred"].astype(cdt)
+                    cg_iters = extras.get(
+                        "cg_iters", jnp.zeros((), jnp.int32)
+                    )
+                    rho = (cost0 - cost1) / jnp.where(
+                        pred > 1e-30, pred, 1e-30
+                    )
+                    ok = jnp.logical_and(
+                        jnp.isfinite(cost1), cost1 < cost0
+                    )
+                    new_values = jax.tree_util.tree_map(
+                        lambda a, b_: jnp.where(ok, a, b_), trial, values
+                    )
+                    new_carried = [
+                        (
+                            jnp.where(ok, rt_, rc_),
+                            tuple(
+                                jnp.where(ok, Jt_, Jc_)
+                                for Jt_, Jc_ in zip(Jst, Jsc)
+                            ),
+                        )
+                        for (_b1, rt_, Jst, _v1), (rc_, Jsc) in zip(
+                            lins_t, carried
+                        )
+                    ]
+                    new_cost0 = jnp.where(ok, cost1, cost0)
+                    tune_s = (
+                        rt.get("ndchol_tune") if isinstance(rt, dict)
+                        else None
+                    )
+                    lam_min = (
+                        tune_s["lam_min"]
+                        if tune_s is not None and "lam_min" in tune_s
+                        else opts.lam_min
+                    )
+                    grow = jnp.minimum(lam * opts.lam_up, opts.lam_max)
+                    shrink = jnp.maximum(lam * opts.lam_down, lam_min)
+                    new_lam = jnp.where(
+                        ~ok,
+                        grow,
+                        jnp.where(
+                            rho < 0.25, grow,
+                            jnp.where(rho > 0.7, shrink, lam),
+                        ),
+                    )
+                    hist = hist.at[it].set(
+                        jnp.stack(
+                            [cost0, cost1, gnorm.astype(cost0.dtype),
+                             dnorm.astype(cost0.dtype),
+                             ok.astype(cost0.dtype),
+                             new_lam.astype(cost0.dtype),
+                             cg_iters.astype(cost0.dtype)]
+                        ).astype(jnp.float32)
+                    )
+                    ftol_hit = jnp.abs(cost_prev - cost1) <= (
+                        self._ftol * jnp.maximum(1.0, jnp.abs(cost_prev))
+                    )
+                    dtol_v = (
+                        tune_s["dtol"] if tune_s is not None else opts.dtol
+                    )
+                    dtol_hit = jnp.logical_and(
+                        jnp.asarray(dtol_v > 0.0),
+                        jnp.logical_and(
+                            dnorm < dtol_v, new_lam <= opts.lam0 + 0.0
+                        ),
+                    )
+                    acc_code = jnp.where(
+                        gnorm < opts.gtol,
+                        1,
+                        jnp.where(
+                            jnp.logical_and(exact, dnorm < opts.xtol),
+                            2,
+                            jnp.where(
+                                jnp.logical_and(
+                                    exact,
+                                    jnp.logical_and(
+                                        jnp.isfinite(cost_prev), ftol_hit
+                                    ),
+                                ),
+                                3,
+                                jnp.where(dtol_hit, 6, 0),
+                            ),
+                        ),
+                    )
+                    n_rej_new = jnp.where(ok, 0, n_rej + 1)
+                    rej_code = jnp.where(
+                        dnorm < step_floor,
+                        4,
+                        jnp.where(
+                            jnp.logical_or(
+                                n_rej_new >= 8, new_lam >= opts.lam_max
+                            ),
+                            5,
+                            0,
+                        ),
+                    )
+                    new_code = jnp.where(ok, acc_code, rej_code).astype(
+                        jnp.int32
+                    )
+                    new_cost_prev = jnp.where(ok, cost1, cost_prev)
+                    # a rejection means lam grew 8x — the carried
+                    # preconditioner no longer matches; force a refresh
+                    if isinstance(pstate, dict) and "stale" in pstate:
+                        pstate = {
+                            **pstate,
+                            "stale": jnp.logical_or(pstate["stale"], ~ok),
+                        }
+                    return (
+                        new_values, new_carried, new_cost0, new_lam,
+                        it + 1, new_cost_prev, n_rej_new, new_code,
+                        gnorm, hist, pstate,
+                    )
+
+                init = (
+                    values, carried0, cost_cur0,
+                    lam, jnp.zeros((), jnp.int32),
+                    jnp.asarray(jnp.inf, dtype=cdt),
+                    jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                    jnp.zeros((), dtype=wdt), hist0,
+                    self._pstate0(sym),
+                )
+                (values, _carried, final_cost, lam, it, _cp, n_rej, code,
+                 gnorm, hist, _ps) = jax.lax.while_loop(cond, body, init)
+                # final_cost is the exact cost at the returned values (the
+                # last accepted linearization's residuals) — no extra pass
+                return values, it, code, n_rej, gnorm, final_cost, hist
+
+            return loop
 
         def loop(values, lam, rt):
             if fused_chordal:
@@ -967,7 +1246,7 @@ class ParametricSolver:
                 jnp.zeros((), jnp.int32),
                 jnp.zeros((), dtype=wdt),
                 hist0,
-                self._pstate0(),
+                self._pstate0(sym),
             )
             values, lam, it, _cp, n_rej, code, gnorm, hist, _ps = jax.lax.while_loop(
                 cond, body, init
@@ -1000,7 +1279,9 @@ class ParametricSolver:
         n_rej = 0
         code = 0
         gnorm = float("nan")
-        pstate = self._pstate0()
+        pstate = self._pstate0(
+            symr if self.linear == "ndchol" else None
+        )
         for it in range(int(opts.max_iters)):
             new_values, lam, c0, c1, gn, dn, ok, pstate, exact, cg_k = step_fn(
                 values, lam, rt, pstate

@@ -137,6 +137,30 @@ def linearize_all(ga: GraphArrays, values, rt=None):
     return out
 
 
+def linearize_all_mixed_j(ga64, ga32, values, rt):
+    """f64 residuals + f32 Jacobians, per batch.
+
+    On TPU f64 is software-emulated (~10x the f32 rate) and the Jacobian
+    entries are ~4/5 of the linearize flops — yet every downstream
+    consumer of J in the ndchol path casts to f32 anyway (normal-equation
+    assembly, the factorization, the loose-polish Hvp). Only the residual
+    r feeds the f64-critical quantities (cost, gradient RHS), so r is
+    evaluated at f64 and J at native f32. Measured M3500: per-LM-iteration
+    wall 42 -> 29 ms at unchanged ATE (tools/exp_lm_tune.py r5).
+    """
+    v32 = {t: jnp.asarray(v, jnp.float32) for t, v in values.items()}
+    out = []
+    for i, b in enumerate(ga64.batches):
+        p, vs, w = rt["params"][i], rt["vslots"][i], rt["weight"][i]
+        r64 = batch_residual(ga64, b, values, p, vs, w)
+        p32 = {k: jnp.asarray(v, jnp.float32) for k, v in p.items()}
+        _r32, Js32 = batch_linearize(
+            ga32, b, v32, p32, vs, jnp.asarray(w, jnp.float32)
+        )
+        out.append((b, r64, Js32, vs))
+    return out
+
+
 def cost_at(ga: GraphArrays, values, rt=None, accum_dtype=None):
     """0.5 * sum of squared whitened residuals (the LM objective).
 

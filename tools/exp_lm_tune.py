@@ -28,13 +28,10 @@ def build():
 
 
 CONFIGS = [
-    # (nd_leaf, polish_tol, fused_chordal)
-    (32, 5e-2, False),   # r4 bench config (with the new chordal defaults)
-    (64, 5e-2, False),
-    (48, 5e-2, False),
-    (32, 1e-3, False),
-    (64, 1e-3, False),
-    (32, 5e-2, True),    # fused chordal validation
+    # (nd_leaf, polish_tol, fused_chordal) — mixed_jacobians now defaults on
+    (32, 5e-2, False),
+    (32, 5e-2, True),
+    (32, 1e-3, True),
 ]
 
 for leaf, ptol, fused in CONFIGS:
