@@ -42,16 +42,18 @@ def test_packed_matches_analytic(n):
 
 def test_pack_unpack_roundtrip():
     from rome_tpu.ops.linearize_pallas import (
-        ROWS, pack_pose2pose2, unpack_planes,
+        ROWS, _SUB, pack_pose2pose2, unpack_planes,
     )
 
     n = 77
     p, q, z, S, w = _random_batch(n, seed=3)
     X = pack_pose2pose2(p, q, z, S, w)
-    assert X.shape[0] == ROWS and X.shape[1] % 128 == 0
-    # planes hold the transposed inputs exactly
-    np.testing.assert_array_equal(np.asarray(X[0:3, :n].T), np.asarray(p))
-    np.testing.assert_array_equal(np.asarray(X[18, :n]), np.asarray(w))
+    assert X.shape[0] == ROWS and X.shape[1] == _SUB
+    assert X.shape[2] % 128 == 0
+    flat = np.asarray(X).reshape(ROWS, -1)
+    # planes hold the inputs exactly under the slab bijection
+    np.testing.assert_array_equal(flat[0, :n], np.asarray(p)[:, 0])
+    np.testing.assert_array_equal(flat[18, :n], np.asarray(w))
     # unpack is the exact inverse layout map
-    r, (J1, J2) = unpack_planes(X[:24], n)
+    r, (J1, J2) = unpack_planes(X, n)
     assert r.shape == (n, 3) and J1.shape == (n, 3, 3)

@@ -120,6 +120,30 @@ def bench_packed(sizes=((10_000, 400), (100_000, 100), (1_000_000, 20))):
     return rows
 
 
+def measure_stream_bw():
+    """Empirical elementwise-stream ceiling of THIS chip (read+write GB/s):
+    the spec HBM number is not achievable by an elementwise pipeline, so
+    the honest roofline denominator is measured, not quoted."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    X = jnp.zeros((24, 8, 125_000), jnp.float32) + 1.0
+    K = 50
+
+    def body(Xc, _):
+        return Xc * 1.0000001 + 1e-30, ()
+
+    g = jax.jit(lambda Xc: jnp.sum(lax.scan(body, Xc, None, length=K)[0]))
+    float(g(X))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(g(X))
+        best = min(best, (time.perf_counter() - t0) / K)
+    return 2 * X.size * 4 / best
+
+
 def main(out_json=None):
     import jax
     import jax.numpy as jnp
@@ -135,6 +159,15 @@ def main(out_json=None):
         all_rows["pallas_packed"] = bench_packed()
     except Exception as e:
         all_rows["pallas_packed"] = {"error": repr(e)}
+    try:
+        measured_bw = measure_stream_bw()
+    except Exception:
+        measured_bw = None
+    if measured_bw and isinstance(all_rows.get("pallas_packed"), list):
+        for r in all_rows["pallas_packed"]:
+            r["pct_of_measured_roofline"] = round(
+                100.0 * r["evals_per_sec"] / (measured_bw / 192.0), 1
+            )
     for variant, fused, flops in (
         ("fused_analytic", True, FLOPS_FUSED),
         ("generic_jacfwd", False, FLOPS_GENERIC),
@@ -206,6 +239,17 @@ def main(out_json=None):
             ceiling_evals_per_sec=round(HBM_BYTES_PER_S / BYTES_PER_EVAL),
             packed_bytes_per_eval=192,
             packed_ceiling_evals_per_sec=round(HBM_BYTES_PER_S / 192.0),
+            # corrected roofline (r5): the spec HBM rate is not reachable
+            # by any elementwise pipeline on this chip — the measured
+            # stream ceiling (elementwise scan, read+write) is the honest
+            # denominator; the packed kernel's gap to it is the number
+            # that says how much kernel headroom actually remains
+            measured_stream_bytes_per_s=(
+                round(measured_bw) if measured_bw else None
+            ),
+            measured_ceiling_evals_per_sec=(
+                round(measured_bw / 192.0) if measured_bw else None
+            ),
             note=(
                 "ceiling assumes pure HBM streaming of 156 B/eval of true "
                 "payload. The r4 diagnosis — (n,3)/(n,3,3) layouts fill "

@@ -49,7 +49,11 @@ def main(out="SCALING_r05.json"):
     from rome_tpu.parallel.varpart import make_varpart_solver
 
     ncores = os.cpu_count() or 1
-    sizes = [1024, 4096, 16384]
+    # sizes bounded by the 1-device reference: varpart at 1 device makes
+    # the WHOLE graph a single dense interior (O((3n)^3) per iteration),
+    # so the strong-scaling reference is only computable up to ~4k poses
+    # on this host. The trend across sizes is the claim.
+    sizes = [1024, 2048, 4096]
     ndevs = [1, 8]
     rows = []
     phase_rows = []
@@ -74,10 +78,10 @@ def main(out="SCALING_r05.json"):
             )
             if nd == max(ndevs):
                 # per-phase decomposition at the widest mesh
-                t_lin = _wall(lambda: solve.probe("lin_cost"))
-                t_full = _wall(lambda: solve.probe("schur_full"))
-                t_nops = _wall(lambda: solve.probe("schur_nopsum"))
-                t_nosep = _wall(lambda: solve.probe("schur_nosep"))
+                t_lin = _wall(lambda: solve.probe("lin_cost"), reps=5)
+                t_full = _wall(lambda: solve.probe("schur_full"), reps=5)
+                t_nops = _wall(lambda: solve.probe("schur_nopsum"), reps=5)
+                t_nosep = _wall(lambda: solve.probe("schur_nosep"), reps=5)
                 pr = dict(
                     n_poses=n_poses,
                     n_devices=nd,
@@ -90,17 +94,26 @@ def main(out="SCALING_r05.json"):
                 )
                 phase_rows.append(pr)
                 print("phases:", pr, flush=True)
-        t1, (tN, stN) = walls[1][0], walls[max(ndevs)]
+        t1, st1 = walls[1]
+        tN, stN = walls[max(ndevs)]
         N = max(ndevs)
+        # PER-ITERATION efficiency: the 1-device and 8-device topologies
+        # follow different LM trajectories (no separators vs f32 Schur
+        # rounding), so whole-solve walls compare different iteration
+        # counts; per-iteration wall compares identical work units
+        p1 = t1 / max(1, st1["iterations"])
+        pN = tN / max(1, stN["iterations"])
         rows.append(
             dict(
                 n_poses=n_poses,
                 t1_s=round(t1, 3),
                 t8_s=round(tN, 3),
-                iters_1=walls[1][1]["iterations"],
+                iters_1=st1["iterations"],
                 iters_8=stN["iterations"],
-                efficiency_raw=round(t1 / (tN * N), 3),
-                efficiency_core_norm=round(t1 / (tN * min(N, ncores)), 3),
+                per_iter_1_s=round(p1, 4),
+                per_iter_8_s=round(pN, 4),
+                efficiency_raw=round(p1 / (pN * N), 3),
+                efficiency_core_norm=round(p1 / (pN * min(N, ncores)), 3),
             )
         )
         print("row:", rows[-1], flush=True)
