@@ -157,8 +157,17 @@ def make_sharded_gn_step(
 
     def cost_of(values, barrs):
         lins = linearize_local(values, barrs)
-        c = sum(0.5 * jnp.sum(r0 * r0) for _vt, _vs, r0, _J in lins)
-        return jax.lax.psum(c, axis), lins
+        # f64 accumulation + psum (when x64 is live): an f32 cross-device
+        # reduction's order perturbs the cost at ~1e-7 relative, enough to
+        # flip LM accept decisions between device/process topologies (see
+        # parallel.varpart.cost_of — same fix, measured drift 11-vs-18 ->
+        # 0 there)
+        cdt = jnp.float64 if jax.config.jax_enable_x64 else ga.dtype
+        c = sum(
+            0.5 * jnp.sum(r0.astype(cdt) * r0.astype(cdt))
+            for _vt, _vs, r0, _J in lins
+        )
+        return jax.lax.psum(c, axis).astype(ga.dtype), lins
 
     def boxplus_all(values, delta):
         out = {}

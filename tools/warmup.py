@@ -36,6 +36,7 @@ def main(quick=False):
         datasets += [
             (bench.MANHATTAN, bench._opts()["big"]),
             (bench.MIT, bench._opts()["big"]),
+            (bench.CITYGRID, bench._opts()["big"]),
         ]
     for path, opts in datasets:
         t0 = time.time()
