@@ -177,7 +177,10 @@ def _ndchol_spd_delta(sym, nd, vals_vec, g, free2, matvec, out_dtype,
     df = dv * f
     diag_add = f * ridge + (1.0 - f)  # preconditioner ridge (see sweep note)
     Ws = ndchol_assemble(sym, nd, vals32, df, diag_add)
-    Linvs, L21s, _L11s = ndchol_factorize(sym, nd, Ws)
+    # blocked=False: the refinement CG must reach 1e-7 within its cap;
+    # the recursive blocked factor's extra f32 rounding made it cap out
+    # (end-to-end M3500 ATE 0.017 -> 0.176, r5 measured)
+    Linvs, L21s, _L11s = ndchol_factorize(sym, nd, Ws, blocked=False)
 
     def minv(r):
         y = ndchol_solve(sym, nd, Linvs, L21s, r.astype(f32) * df)

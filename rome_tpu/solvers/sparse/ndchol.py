@@ -33,6 +33,64 @@ def _tri(L, B, *, trans, left=True):
     )
 
 
+def _tri_inv_blocked(L):
+    """Batched lower-triangular inverse via recursive 2x2-block Schur:
+
+        [[A, 0], [B, C]]^-1 = [[A^-1, 0], [-C^-1 B A^-1, C^-1]]
+
+    — all batched MXU matmuls instead of the sequential substitution loop
+    lax.linalg.triangular_solve lowers to on TPU. Fenced r5 profile: the
+    per-level explicit inverses were the bulk of the ~21 ms M3500
+    factorize (the solve sweeps were already matmul-only). Rounding is a
+    whisker different from substitution; the factor is a CG-corrected
+    preconditioner, and the Takahashi covariance path is gated by the f64
+    cross-check in bench.py."""
+    m = L.shape[-1]
+    if m <= 32:
+        eye = jnp.broadcast_to(
+            jnp.eye(m, dtype=L.dtype), L.shape[:-2] + (m, m)
+        )
+        return _tri(L, eye, trans=False)
+    h = m // 2
+    A = L[..., :h, :h]
+    B = L[..., h:, :h]
+    C = L[..., h:, h:]
+    Ai = _tri_inv_blocked(A)
+    Ci = _tri_inv_blocked(C)
+    X = -(Ci @ (B @ Ai))
+    top = jnp.concatenate(
+        [Ai, jnp.zeros(L.shape[:-2] + (h, m - h), L.dtype)], axis=-1
+    )
+    bot = jnp.concatenate([X, Ci], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _chol_blocked(A):
+    """Batched Cholesky via recursive 2x2 blocking — the inner panel
+    factorizations bottom out in small native cholesky calls and
+    everything else is MXU matmuls (XLA's cholesky lowers to a sequential
+    blocked loop whose trip count scales with the front size; at 12 tree
+    levels those loops dominated the M3500 factorize). A non-SPD input
+    still surfaces NaNs through the base-case cholesky (the LM loop's
+    NaN-pivot rejection contract is unchanged)."""
+    m = A.shape[-1]
+    if m <= 32:
+        return jnp.linalg.cholesky(A)
+    h = m // 2
+    A11 = A[..., :h, :h]
+    A21 = A[..., h:, :h]
+    A22 = A[..., h:, h:]
+    L11 = _chol_blocked(A11)
+    L21 = A21 @ jnp.swapaxes(_tri_inv_blocked(L11), -1, -2)
+    S = A22 - L21 @ jnp.swapaxes(L21, -1, -2)
+    L22 = _chol_blocked(S)
+    top = jnp.concatenate(
+        [L11, jnp.zeros(A.shape[:-2] + (h, m - h), A.dtype)], axis=-1
+    )
+    bot = jnp.concatenate([L21, L22], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def ndchol_assemble(sym, arrs, vals, scale_vec, diag_add):
     """Build per-level front tensors from scaled entry contributions.
 
@@ -59,7 +117,7 @@ def ndchol_assemble(sym, arrs, vals, scale_vec, diag_add):
     return Ws
 
 
-def ndchol_factorize(sym, arrs, Ws):
+def ndchol_factorize(sym, arrs, Ws, blocked=False):
     """Leaf-to-root batched partial Cholesky with fan-in Schur scatters.
 
     Per level: ONE batched Cholesky, ONE batched triangular inversion
@@ -83,10 +141,24 @@ def ndchol_factorize(sym, arrs, Ws):
             continue
         W = flat[l].reshape(n_l, sm + bm, sm + bm)
         A11 = W[:, :sm, :sm]
-        L11 = jnp.linalg.cholesky(A11)
+        # blocked=True: recursive matmul-only chol+inverse — ~8 ms/iter
+        # cheaper on the M3500 factorize but its extra f32 rounding makes
+        # the factor a measurably weaker preconditioner: the chordal-init
+        # CG capped out (end-to-end ATE 0.017 -> 0.176) and the LM loop
+        # needed 17 iterations instead of 7, a NET loss (0.45 s -> 0.75 s,
+        # all r5 measured). Default stays native; the blocked variant is
+        # kept for future very-large-front workloads where the sequential
+        # native loops would dominate outright.
+        if blocked:
+            L11 = _chol_blocked(A11)
+            Linv = _tri_inv_blocked(L11)
+        else:
+            L11 = jnp.linalg.cholesky(A11)
+            eye = jnp.broadcast_to(
+                jnp.eye(sm, dtype=W.dtype), (n_l, sm, sm)
+            )
+            Linv = _tri(L11, eye, trans=False)
         L11s.append(L11)
-        eye = jnp.broadcast_to(jnp.eye(sm, dtype=W.dtype), (n_l, sm, sm))
-        Linv = _tri(L11, eye, trans=False)
         Linvs.append(Linv)
         if bm == 0:
             L21s.append(None)

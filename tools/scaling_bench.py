@@ -52,13 +52,18 @@ def main(out="SCALING_r05.json"):
     # sizes bounded by the 1-device reference: varpart at 1 device makes
     # the WHOLE graph a single dense interior (O((3n)^3) per iteration),
     # so the strong-scaling reference is only computable up to ~4k poses
-    # on this host. The trend across sizes is the claim.
+    # on this host. The trend across sizes is the claim. Two closure
+    # regimes: "random" long-range links (worst case for any partition —
+    # separator grows ~linearly with n) and "local" corridor-SLAM links
+    # (the realistic regime — separator constant in n).
     sizes = [1024, 2048, 4096]
     ndevs = [1, 8]
     rows = []
     phase_rows = []
-    for n_poses in sizes:
-        ga = ge._build_chain_fixture(n_poses)
+    for closures, n_poses in [
+        (c, n) for c in ("local", "random") for n in sizes
+    ]:
+        ga = ge._build_chain_fixture(n_poses, closures=closures)
         walls = {}
         for nd in ndevs:
             mesh = Mesh(np.array(jax.devices()[:nd]).reshape(nd), ("v",))
@@ -72,7 +77,7 @@ def main(out="SCALING_r05.json"):
                 best = min(best, time.time() - t0)
             walls[nd] = (best, st)
             print(
-                f"poses {n_poses} ndev {nd}: wall {best:.3f} s "
+                f"[{closures}] poses {n_poses} ndev {nd}: wall {best:.3f} s "
                 f"iters {st['iterations']} reason {st['reason']}",
                 flush=True,
             )
@@ -83,6 +88,7 @@ def main(out="SCALING_r05.json"):
                 t_nops = _wall(lambda: solve.probe("schur_nopsum"), reps=5)
                 t_nosep = _wall(lambda: solve.probe("schur_nosep"), reps=5)
                 pr = dict(
+                    closures=closures,
                     n_poses=n_poses,
                     n_devices=nd,
                     lin_cost_ms=round(t_lin * 1e3, 2),
@@ -105,6 +111,7 @@ def main(out="SCALING_r05.json"):
         pN = tN / max(1, stN["iterations"])
         rows.append(
             dict(
+                closures=closures,
                 n_poses=n_poses,
                 t1_s=round(t1, 3),
                 t8_s=round(tN, 3),
