@@ -38,6 +38,7 @@ import numpy as np
 MANHATTAN = "/root/reference/examples/manhattan.g2o"
 MIT = "/root/reference/examples/MIT.g2o"
 OCTAGON = "/root/reference/test/octagon.g2o"
+CITYGRID = os.path.join(os.path.dirname(__file__), "data", "citygrid.g2o")
 # 10 cm: near-optimal SLAM solutions sit in nearly-flat cost valleys —
 # MIT's f32 solution matches the f64 optimum cost to 3e-7 relative while
 # sitting 6 cm away along a flat direction
@@ -58,17 +59,21 @@ def _opts():
         from rome_tpu import GNOptions
 
         _OPTS = dict(
-            # round-4 flagship: ndchol (nested-dissection multifrontal
-            # sparse Cholesky) + loose inexact-Newton CG polish. Tuned
-            # on-chip (tools/exp_ndchol_tune.py sweeps): jitter 1e-7 keeps
-            # f32 pivots positive at ~37 total CG iterations; polish_tol
-            # 5e-2 exploits the accuracy headroom (lands at ATE ~0.017 m vs
-            # the 0.1 m gate — 1e-1 crosses it); dtol 0.25 stops when
-            # accepted steps shrink below decimeter scale.
+            # round-5 flagship: ndchol (nested-dissection multifrontal
+            # sparse Cholesky) + loose inexact-Newton CG polish, with the
+            # r5 fixed-cost cuts all validated end-to-end on-chip
+            # (tools/exp_chordal_tune.py + exp_lm_tune.py):
+            # - fused_chordal: init + LM loop as ONE compiled program
+            # - mixed_jacobians (default): f64 residuals, f32 Jacobians
+            # - chordal init at leaf 64 / ridge 1e-7 (121 ms vs 195)
+            # jitter 1e-7 keeps f32 pivots positive; polish_tol 5e-2 lands
+            # at ATE ~0.017 m vs the 0.1 m gate (1e-1 crosses it); dtol
+            # 0.25 stops when accepted steps shrink below decimeter scale.
             big=GNOptions(
-                max_iters=30, linear="ndchol", polish_tol=5e-2, nd_leaf=32,
+                max_iters=40, linear="ndchol", polish_tol=5e-2, nd_leaf=32,
                 polish_iters=60, lam0=1e-6, lam_down=0.1, lam_min=1e-12,
-                chol_jitter=1e-7, dtol=0.25, ftol=1e-9, gtol=1e-8,
+                chol_jitter=1e-7, dtol=0.0025, dtol_auto=True, ftol=1e-9,
+                gtol=1e-8, fused_chordal=True,
             ),
             small=GNOptions(max_iters=50, linear="dense", lam0=1e-4, ftol=1e-10),
         )
@@ -98,30 +103,33 @@ def _ate_rmse(fg, gt_file):
     return float(np.sqrt(np.mean(errs)))
 
 
-def _solve_dataset(path, gt_file, opts, warm=True):
+def _solve_dataset(path, gt_file, opts, warm=True, ate_gate=ATE_GATE_M):
     from rome_tpu import solve_graph_parametric
 
     fg = _build_graph(path)
-    # chordal (rotation-first) init + lazy-precond mixed LM: the TPU-native
-    # solve strategy. The CPU baseline keeps its own best strategy
-    # (spanning-tree init + sparse direct LM) — comparison is same problem,
+    # chordal (rotation-first) init + ndchol LM: the TPU-native solve
+    # strategy. The CPU baseline keeps its own best strategy
+    # (chordal init + sparse direct f64 LM) — comparison is same problem,
     # same accuracy gate, each solver's best configuration.
     kw = dict(init=False, options=opts, chordal_init=True, schedule="fused")
     t_warm0 = time.time()
     res = solve_graph_parametric(fg, **kw)
     t_warm = time.time() - t_warm0
+    runs = []
     if warm:
         # timing span matched to the CPU proxy (tools/cpu_reference.py:306
         # times chordal init + LM only, not g2o packing or write-out):
         # solve_time_s covers init + compiled solve, excluding lower()
-        # array packing and host write_back. Best of 3 warm solves — single
-        # calls over the tunneled device carry ~0.1-0.3 s dispatch jitter.
-        dt = float("inf")
+        # array packing and host write_back. ALL warm runs are recorded
+        # (VERDICT r4 #1: kill the best-of-N ambiguity); the headline uses
+        # the best — single calls over the tunneled device carry
+        # ~0.1-0.3 s dispatch jitter.
         for _ in range(3):
             fg2 = _build_graph(path)
             res = solve_graph_parametric(fg2, **kw)
-            dt = min(dt, res["solve_time_s"])
+            runs.append(round(res["solve_time_s"], 3))
             fg = fg2
+        dt = min(runs)
     else:
         dt = res["solve_time_s"]
     gt = np.load(gt_file)
@@ -130,7 +138,7 @@ def _solve_dataset(path, gt_file, opts, warm=True):
     ref_cost = float(gt["final_cost"])
     matched = (
         st.converged
-        and ate <= ATE_GATE_M
+        and ate <= ate_gate
         and st.final_cost <= ref_cost * 1.002 + 1e-3
     )
     n_poses = len(fg.ls(r"^x\d+$"))
@@ -138,17 +146,99 @@ def _solve_dataset(path, gt_file, opts, warm=True):
         n_poses=n_poses,
         n_factors=fg.num_factors,
         solve_time_s=round(dt, 3),
+        warm_runs_s=runs,
         warmup_time_s=round(t_warm, 3),
         iterations=st.iterations,
         converged=st.converged,
         final_cost=st.final_cost,
         ref_cost=ref_cost,
         ate_rmse_m=round(ate, 5),
+        ate_gate_m=ate_gate,
         matched_ate=bool(matched),
         poses_per_sec=round(n_poses / dt, 2),
         baseline_cpu_solve_s=float(gt["solve_time_s"]),
         baseline_cpu_poses_per_sec=round(n_poses / float(gt["solve_time_s"]), 2),
     )
+
+
+def _covariance_crosscheck(ga, covs, k=32, seed=11, rel_tol=1e-4):
+    """f64 reference for k sampled per-pose covariances: assemble the same
+    Jacobi-scaled + 1e-8-ridged information system the Takahashi path
+    factors (solvers/gauss_newton._marginal_covariances_takahashi), solve
+    its sampled columns exactly with scipy splu in f64, and report the max
+    relative deviation of the gathered dxd blocks.
+
+    Reference contract: per-variable covariances match the parametric
+    solve, testParametricCovariances.jl:33-55."""
+    import copy
+
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    from rome_tpu.solvers.linearize import (
+        free_vector, linearize_all, runtime_state, tangent_offsets,
+    )
+
+    ga64 = copy.copy(ga)
+    ga64.dtype = jnp.float64
+    rt = runtime_state(ga)
+    v64 = {t: jnp.asarray(v, jnp.float64) for t, v in ga.values0.items()}
+    lins = linearize_all(ga64, v64, rt)
+    base, nD = tangent_offsets(ga)
+    fvec = np.asarray(free_vector(ga, rt), np.float64)
+
+    rows, cols, vals = [], [], []
+    for b, _r0, Js, vs in lins:
+        vs = np.asarray(vs)
+        offs = []
+        for kk, t in enumerate(b.vtypes):
+            d = ga.manifolds[t].dof
+            offs.append(
+                base[t] + vs[:, kk, None] * d + np.arange(d)[None, :]
+            )
+        Jh = [np.asarray(J, np.float64) for J in Js]
+        for a in range(len(Jh)):
+            for c in range(len(Jh)):
+                blk = np.einsum("nij,nik->njk", Jh[a], Jh[c])
+                n, da, dc = blk.shape
+                rows.append(
+                    np.broadcast_to(offs[a][:, :, None], blk.shape).ravel()
+                )
+                cols.append(
+                    np.broadcast_to(offs[c][:, None, :], blk.shape).ravel()
+                )
+                vals.append(blk.ravel())
+    H = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nD, nD),
+    ).tocsc()
+    diag_H = H.diagonal() * fvec**2
+    dv = 1.0 / np.sqrt(np.maximum(diag_H, 1e-12))
+    df = dv * fvec
+    Ddf = sp.diags(df)
+    A = Ddf @ H @ Ddf + sp.diags(fvec * 1e-8 + (1.0 - fvec))
+    lu = spla.splu(A.tocsc())
+
+    rng = np.random.default_rng(seed)
+    nP = ga.counts["Pose2"]
+    sample = rng.choice(nP, size=min(k, nP), replace=False)
+    got = np.asarray(covs["Pose2"], np.float64)
+    max_rel = 0.0
+    for i in sample:
+        sl = base["Pose2"] + 3 * int(i) + np.arange(3)
+        cols_i = np.zeros((nD, 3))
+        cols_i[sl, np.arange(3)] = 1.0
+        X = lu.solve(cols_i)
+        ref = (dv[sl][:, None] * X[sl]) * dv[sl][None, :]
+        denom = max(np.abs(ref).max(), 1e-12)
+        max_rel = max(max_rel, float(np.abs(got[i] - ref).max() / denom))
+    return {
+        "sampled_poses": int(len(sample)),
+        "max_rel_err_sampled": round(max_rel, 8),
+        "rel_tol": rel_tol,
+        "accuracy_ok": bool(max_rel <= rel_tol),
+    }
 
 
 def main():
@@ -186,6 +276,19 @@ def main():
         detail["octagon"] = {"error": repr(e)}
 
     try:
+        # third accuracy-gated dataset at a 10x metric scale (10 m blocks,
+        # tools/gen_citygrid.py): the SAME solver config must pass with the
+        # ATE gate scaled by the dataset's edge length (0.1 x 10 m), so no
+        # single dataset's tolerance valley can shape the tuning
+        # (VERDICT r4 #8)
+        city = _solve_dataset(
+            CITYGRID, "data/citygrid_gt.npz", _opts()["big"], ate_gate=1.0
+        )
+        detail["citygrid_10k"] = city
+    except Exception as e:
+        detail["citygrid_10k"] = {"error": repr(e)}
+
+    try:
         # per-pose covariance recovery at M3500 scale (Takahashi selected
         # inversion on the ND tree — testParametricCovariances.jl contract;
         # the dense full-inverse was O(n^3)/O(n^2) and unusable here)
@@ -211,6 +314,12 @@ def main():
             "per_pose_us": round(1e6 * dt_cov / ga_cov.counts["Pose2"], 1),
             "finite": bool(_np.isfinite(_np.asarray(covs["Pose2"])).all()),
         }
+        # ACCURACY at benchmark scale (VERDICT r4 #7): k=32 randomly
+        # sampled per-pose covariances cross-checked against an exact f64
+        # scipy sparse solve of the identical scaled+ridged system
+        detail["covariance_recovery"].update(
+            _covariance_crosscheck(ga_cov, covs, k=32)
+        )
     except Exception as e:
         detail["covariance_recovery"] = {"error": repr(e)}
 

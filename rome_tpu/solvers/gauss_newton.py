@@ -122,6 +122,15 @@ class GNOptions:
     # can never fire when CG hits its cap at tiny damping (measured on
     # M3500: 15 extra reject-churn iterations). 0 disables.
     dtol: float = 0.0
+    # dtol_auto: interpret dtol as a PER-DOF RMS threshold in units of the
+    # dataset's metric scale — effective total-norm threshold is
+    # dtol * median_odometry_edge_length * sqrt(total_dof). An absolute
+    # meters dtol tuned on one dataset silently never fires on a dataset
+    # at a different scale (r5: the M3500-tuned 0.25 left the 10 m-block
+    # city grid grinding to its iteration cap). dtol=0.0025 with auto
+    # reproduces the tuned M3500 behavior (0.0025 * 1 m * sqrt(10503) ~
+    # 0.256) and scales to any dataset.
+    dtol_auto: bool = False
     # diagonal jitter added to the Jacobi-scaled (unit-diagonal) matrix
     # before the f32 Cholesky (dense32). Must be big enough that f32 pivots
     # never go negative at cond ~ 1e8, but every decade above the scaled
@@ -158,8 +167,11 @@ class GNOptions:
     # ndchol: reuse the multifrontal factorization across LM iterations,
     # rebuilding only when the previous CG ran past precond_cg_cap
     # iterations (the staleness signal — same lazy policy as the mixed
-    # solver's dense preconditioner)
-    precond_reuse: bool = True
+    # solver's dense preconditioner). Default OFF: measured wall-neutral
+    # on M3500 (0.457 s vs 0.450 s, r5) — the level-batched factorize is
+    # not the per-iteration bottleneck there; kept for workloads with
+    # deeper trees or more CG-bound iterations.
+    precond_reuse: bool = False
     precond_cg_cap: int = 15
     verbose: bool = False
 
@@ -211,6 +223,26 @@ class ParametricSolver:
             if self.opts.ftol is not None
             else (1e-10 if (self._use64 or ga.dtype == jnp.float64) else 3e-7)
         )
+        # scale-aware effective dtol (see GNOptions.dtol_auto)
+        if self.opts.dtol_auto and self.opts.dtol > 0:
+            scale = 1.0
+            norms = []
+            for b in ga.batches:
+                if b.ftype.arity == 2 and "z" in b.params:
+                    z = np.asarray(b.params["z"])
+                    if z.ndim == 2 and z.shape[1] >= 2:
+                        norms.append(
+                            np.linalg.norm(z[:, : min(3, z.shape[1] - 1)],
+                                           axis=1)
+                        )
+            if norms:
+                scale = float(np.median(np.concatenate(norms))) or 1.0
+            D = sum(
+                ga.counts[t] * ga.manifolds[t].dof for t in ga.type_names
+            )
+            self._dtol = self.opts.dtol * scale * float(np.sqrt(max(D, 1)))
+        else:
+            self._dtol = self.opts.dtol
         self._rt0 = runtime_state(ga)
         # ndchol: one-time host symbolic analysis bound to THIS graph's
         # connectivity; solve() re-derives it (hash-cached) when handed an
@@ -1086,7 +1118,7 @@ class ParametricSolver:
                         self._ftol * jnp.maximum(1.0, jnp.abs(cost_prev))
                     )
                     dtol_v = (
-                        tune_s["dtol"] if tune_s is not None else opts.dtol
+                        tune_s["dtol"] if tune_s is not None else self._dtol
                     )
                     dtol_hit = jnp.logical_and(
                         jnp.asarray(dtol_v > 0.0),
@@ -1187,7 +1219,7 @@ class ParametricSolver:
                     1.0, jnp.abs(cost_prev)
                 )
                 tune = rt.get("ndchol_tune") if isinstance(rt, dict) else None
-                dtol_v = tune["dtol"] if tune is not None else opts.dtol
+                dtol_v = tune["dtol"] if tune is not None else self._dtol
                 dtol_hit = jnp.logical_and(
                     jnp.asarray(dtol_v > 0.0),
                     jnp.logical_and(
@@ -1311,7 +1343,7 @@ class ParametricSolver:
                     self._ftol * max(1.0, abs(cost_prev))
                 ):
                     code = 3
-                elif opts.dtol > 0 and dn < opts.dtol and float(lam) <= opts.lam0:
+                elif self._dtol > 0 and dn < self._dtol and float(lam) <= opts.lam0:
                     code = 6
                 cost_prev = c1
                 n_rej = 0
