@@ -93,14 +93,27 @@ def _build_graph(path):
 
 
 def _ate_rmse(fg, gt_file):
+    """ATE RMSE after SE(2) alignment (Kabsch on the 2D positions) — the
+    standard SLAM ATE convention (TUM/evo): a pose-graph posterior is
+    gauge-anchored only through the single x0 prior, so the raw error
+    includes near-zero-cost long-wavelength valley modes (measured on the
+    10 m-scale city grid: 23 m raw displacement at a cost within 2e-5
+    relative of the f64 optimum). Returns (aligned, raw)."""
     gt = np.load(gt_file)
     poses = gt["poses"]
-    errs = []
+    E, G = [], []
     for lbl in fg.ls(r"^x\d+$"):
         i = int(lbl[1:])
-        est = fg.get_coords(lbl, "parametric")
-        errs.append(np.sum((est[:2] - poses[i][:2]) ** 2))
-    return float(np.sqrt(np.mean(errs)))
+        E.append(fg.get_coords(lbl, "parametric")[:2])
+        G.append(poses[i][:2])
+    E, G = np.asarray(E), np.asarray(G)
+    raw = float(np.sqrt(np.mean(np.sum((E - G) ** 2, axis=1))))
+    Ec, Gc = E - E.mean(0), G - G.mean(0)
+    U, _s, Vt = np.linalg.svd(Gc.T @ Ec)
+    R = U @ np.diag([1.0, np.sign(np.linalg.det(U @ Vt))]) @ Vt
+    Ea = Ec @ R.T + G.mean(0)
+    aligned = float(np.sqrt(np.mean(np.sum((Ea - G) ** 2, axis=1))))
+    return aligned, raw
 
 
 def _solve_dataset(path, gt_file, opts, warm=True, ate_gate=ATE_GATE_M):
@@ -134,7 +147,7 @@ def _solve_dataset(path, gt_file, opts, warm=True, ate_gate=ATE_GATE_M):
         dt = res["solve_time_s"]
     gt = np.load(gt_file)
     st = res["stats"]
-    ate = _ate_rmse(fg, gt_file)
+    ate, ate_raw = _ate_rmse(fg, gt_file)
     ref_cost = float(gt["final_cost"])
     matched = (
         st.converged
@@ -153,6 +166,7 @@ def _solve_dataset(path, gt_file, opts, warm=True, ate_gate=ATE_GATE_M):
         final_cost=st.final_cost,
         ref_cost=ref_cost,
         ate_rmse_m=round(ate, 5),
+        ate_raw_m=round(ate_raw, 5),
         ate_gate_m=ate_gate,
         matched_ate=bool(matched),
         poses_per_sec=round(n_poses / dt, 2),

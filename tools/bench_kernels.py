@@ -84,7 +84,10 @@ def bench_packed(sizes=((10_000, 400), (100_000, 100), (1_000_000, 20))):
 
         def body(Xc, _):
             Y = pose2pose2_linearize_planes(Xc)
-            return Xc + 1e-30 * jnp.sum(Y), ()
+            # pin f32: under x64 (bench.py) the 1e-30 literal promotes the
+            # carry to f64 and the Mosaic compile crashes downstream
+            upd = (1e-30 * jnp.sum(Y)).astype(jnp.float32)
+            return Xc + upd, ()
 
         # SCALAR-FETCH timing: over the tunneled device
         # jax.block_until_ready is a NO-OP (measured r5: it returned in

@@ -1,4 +1,4 @@
-"""Warm-process warmup measurement -> WARMUP_r04.json.
+"""Warm-process warmup measurement -> WARMUP_r05.json.
 
 VERDICT r3 #2 asked for cold/warm/warm-process rows: this probe measures the
 WARM-PROCESS path (fresh interpreter, persistent XLA cache populated by any
@@ -59,7 +59,7 @@ def main():
         print(p.stdout[-1500:])
         print(p.stderr[-1500:], file=sys.stderr)
         raise SystemExit("no PROBE line")
-    out_path = os.path.join(REPO, "WARMUP_r04.json")
+    out_path = os.path.join(REPO, "WARMUP_r05.json")
     observed = []
     try:
         prev = json.load(open(out_path))
@@ -68,6 +68,8 @@ def main():
         pass
     observed.append(row["warm_process_to_first_solve_s"])
     best = min(observed)
+    import statistics
+    median = statistics.median(observed)
     doc = dict(
         what=(
             "fresh-interpreter M3500 solve with the persistent XLA compile "
@@ -78,7 +80,9 @@ def main():
         target_s=30,
         observed_runs_s=observed,
         best_s=best,
+        median_s=median,
         meets_target_at_best=bool(best < 30),
+        meets_target_at_median=bool(median < 30),
         note=(
             "warm-process start = imports + tracing + shipping cached "
             "executables over the remote TPU tunnel; run-to-run spread is "
