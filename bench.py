@@ -338,10 +338,25 @@ def main():
         detail["covariance_recovery"] = {"error": repr(e)}
 
     try:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
-        import bench_kernels
+        # fresh subprocess WITHOUT x64: the Pallas kernel's remote Mosaic
+        # compile crashes the tunnel's compile helper when the parent
+        # process has jax_enable_x64 live (HTTP 500, r5); the kernel bench
+        # itself is pure f32 and needs none of the bench's config
+        import subprocess as _sp
+        import tempfile as _tf
 
-        detail["kernel_speed_of_light"] = bench_kernels.main(None)
+        with _tf.NamedTemporaryFile(suffix=".json", delete=False) as _f:
+            _kj = _f.name
+        _p = _sp.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "tools",
+                          "bench_kernels.py"), "--json", _kj],
+            capture_output=True, text=True, timeout=1800,
+            env=dict(os.environ),
+        )
+        with open(_kj) as _fh:
+            detail["kernel_speed_of_light"] = json.load(_fh)
+        os.unlink(_kj)
     except Exception as e:
         detail["kernel_speed_of_light"] = {"error": repr(e)}
 

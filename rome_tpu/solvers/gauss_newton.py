@@ -223,20 +223,23 @@ class ParametricSolver:
             if self.opts.ftol is not None
             else (1e-10 if (self._use64 or ga.dtype == jnp.float64) else 3e-7)
         )
+        # dataset metric scale: median pairwise-odometry edge length —
+        # drives the scale-aware dtol AND the f32-vs-f64 CG matvec branch
+        scale = 1.0
+        norms = []
+        for b in ga.batches:
+            if b.ftype.arity == 2 and "z" in b.params:
+                z = np.asarray(b.params["z"])
+                if z.ndim == 2 and z.shape[1] >= 2:
+                    norms.append(
+                        np.linalg.norm(z[:, : min(3, z.shape[1] - 1)],
+                                       axis=1)
+                    )
+        if norms:
+            scale = float(np.median(np.concatenate(norms))) or 1.0
+        self._edge_scale = scale
         # scale-aware effective dtol (see GNOptions.dtol_auto)
         if self.opts.dtol_auto and self.opts.dtol > 0:
-            scale = 1.0
-            norms = []
-            for b in ga.batches:
-                if b.ftype.arity == 2 and "z" in b.params:
-                    z = np.asarray(b.params["z"])
-                    if z.ndim == 2 and z.shape[1] >= 2:
-                        norms.append(
-                            np.linalg.norm(z[:, : min(3, z.shape[1] - 1)],
-                                           axis=1)
-                        )
-            if norms:
-                scale = float(np.median(np.concatenate(norms))) or 1.0
             D = sum(
                 ga.counts[t] * ga.manifolds[t].dof for t in ga.type_names
             )
@@ -659,8 +662,18 @@ class ParametricSolver:
             # must not pick f32 from the (possibly looser) static default —
             # a tuned tol tighter than ~1e-3 against the f32 matvec floors
             # the residual and CG spins to its cap. Tuned sweeps therefore
-            # always get the f64 matvec.
-            if tune is None and opts.polish_tol >= 1e-3 and wdt != jnp.float32:
+            # always get the f64 matvec. The branch is ALSO scale-gated:
+            # on the 10 m-block city grid the f32 Hvp's rounding corrupted
+            # the CG directions outright — LM hit an 8-rejection stall at
+            # cost +12.7% over the optimum, while the identical config with
+            # the f64 matvec converged to the optimum in 10 iters (r5
+            # measured); 1 m-scale graphs (M3500/MIT) are unaffected.
+            if (
+                tune is None
+                and opts.polish_tol >= 1e-3
+                and wdt != jnp.float32
+                and self._edge_scale <= 3.0
+            ):
                 lins32 = [
                     (bb, r0.astype(f32), tuple(J.astype(f32) for J in Js), vs)
                     for bb, r0, Js, vs in lins
