@@ -636,10 +636,15 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
                 own0p = {t: _sq(own_vals[t]) for t in tn}
                 cth, linsp = cost_of(with_sep(own0p, sep_exchange(own0p)))
                 if mode == "lin_cost":
-                    return cth
+                    return jnp.reshape(cth, (1,))
                 deltap, gnp = schur_solve(linsp, lam)
-                # fold delta in so no phase gets dead-code-eliminated
-                return gnp + 0.0 * sum(jnp.sum(deltap[t]) for t in tn) + 0.0 * cth
+                # fold delta in so no phase gets dead-code-eliminated;
+                # (1,)-shaped per-device output (nopsum values legitimately
+                # differ across devices)
+                out = gnp + 0.0 * sum(
+                    jnp.sum(deltap[t]) for t in tn
+                ) + 0.0 * cth
+                return jnp.reshape(out, (1,))
 
             # ---- fused LM loop (Marquardt schedule in-graph) --------------
             def lm_cond(state):
@@ -711,15 +716,39 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
              params={k: P(axis) for k in fb["params"]})
         for fb in plan.fb_local
     ]
+    in_specs = (vspec, P(), tabspec, tabspec, tabspec, tabspec,
+                tabspec, repspec, fbspec)
     solve_core = jax.jit(
         shard_map(
             build(), mesh=mesh,
-            in_specs=(vspec, P(), tabspec, tabspec, tabspec, tabspec,
-                      tabspec, repspec, fbspec),
+            in_specs=in_specs,
             out_specs=(vspec, P(), P(), P(), P()),
             check_vma=False,
         )
     )
+
+    _probes = {}
+
+    def probe(name, values=None, lam0=1e-4):
+        """Run one phase-probe program (see build() modes) and block; used
+        by tools/scaling_bench.py for the per-phase decomposition."""
+        fn = _probes.get(name)
+        if fn is None:
+            fn = jax.jit(
+                shard_map(
+                    build(name), mesh=mesh, in_specs=in_specs,
+                    out_specs=P(axis), check_vma=False,
+                )
+            )
+            _probes[name] = fn
+        values = values if values is not None else ga.values0
+        scattered = plan.scatter_values(values)
+        own = {t: dev_sharded(scattered[t]) for t in tn}
+        out = fn(
+            own, jnp.asarray(lam0, dtype), sep_src, sep_own, own2sep,
+            own_valid, free_own, free_sep, fbs
+        )
+        return jax.block_until_ready(out)
 
     def solve(values=None, lam0=1e-4):
         values = values if values is not None else ga.values0
@@ -758,4 +787,5 @@ def make_varpart_solver(ga: GraphArrays, mesh: Mesh, axis: str = "v",
         )
         return {t: jnp.asarray(v, dtype) for t, v in out.items()}, stats
 
+    solve.probe = probe
     return solve, plan
