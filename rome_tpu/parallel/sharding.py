@@ -124,12 +124,27 @@ def make_sharded_gn_step(
             lins.append((vtypes, vslots, r0, Js))
         return lins
 
+    def _psum_f64(x):
+        """Element-wise psum accumulated in f64 when x64 is live: the 8-way
+        f32 reduction's order differs between intra-process and
+        cross-process collective implementations, and the ~1e-7 relative
+        perturbation is enough to drift the LM trajectory between
+        topologies (same fix as parallel.varpart)."""
+        if jax.config.jax_enable_x64:
+            return jax.tree_util.tree_map(
+                lambda v: jax.lax.psum(
+                    v.astype(jnp.float64), axis
+                ).astype(v.dtype),
+                x,
+            )
+        return jax.lax.psum(x, axis)
+
     def grad_of(lins):
         g = tangent_zeros()
         for vtypes, vslots, r0, Js in lins:
             for k, t in enumerate(vtypes):
                 g[t] = g[t].at[vslots[:, k]].add(jnp.einsum("nij,ni->nj", Js[k], r0))
-        g = jax.lax.psum(g, axis)
+        g = _psum_f64(g)
         return {t: g[t] * free[t][:, None] for t in g}
 
     def hvp_of(lins, v):
@@ -142,7 +157,7 @@ def make_sharded_gn_step(
                 u = uk if u is None else u + uk
             for k, t in enumerate(vtypes):
                 out[t] = out[t].at[vslots[:, k]].add(jnp.einsum("nij,ni->nj", Js[k], u))
-        out = jax.lax.psum(out, axis)
+        out = _psum_f64(out)
         return {t: out[t] * free[t][:, None] for t in out}
 
     def block_diag_of(lins):
@@ -153,7 +168,7 @@ def make_sharded_gn_step(
         for vtypes, vslots, r0, Js in lins:
             for k, t in enumerate(vtypes):
                 D[t] = D[t].at[vslots[:, k]].add(jnp.einsum("nij,nik->njk", Js[k], Js[k]))
-        return jax.lax.psum(D, axis)
+        return _psum_f64(D)
 
     def cost_of(values, barrs):
         lins = linearize_local(values, barrs)
