@@ -3,7 +3,7 @@
 The VERDICT r3 contract for the sparse solver: iteration cost that scales
 ~O(nnz), not O(n^3). This measures ONE LM step (linearize + factorize +
 polish CG at fixed lam) on 2D grid pose graphs of growing size, both
-backends, on the real device. Writes NDCHOL_SCALING_r04.json.
+backends, on the real device. Writes NDCHOL_SCALING_r05.json.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/exp_ndchol_scaling.py
 """
@@ -112,7 +112,7 @@ def main():
         rows=rows_out,
     )
     with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "NDCHOL_SCALING_r04.json"), "w") as fh:
+            os.path.abspath(__file__))), "NDCHOL_SCALING_r05.json"), "w") as fh:
         json.dump(doc, fh, indent=1)
     print(json.dumps(doc), flush=True)
 
